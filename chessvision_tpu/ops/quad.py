@@ -1,0 +1,278 @@
+"""On-device quadrangle extraction from binary masks.
+
+Replaces the reference's host-side OpenCV stage — cv2.findContours +
+contour filters + approxPolyDP + orientation normalization (reference
+core.py:357-417) — with a fixed-shape, jittable, batched formulation:
+
+1. **Dominant component** (replaces RETR_CCOMP contour selection): flood
+   fill from the highest-probability pixel using log-depth *segmented
+   reachability scans* along rows and columns (``lax.associative_scan``
+   with an or-with-reset monoid).  For convex board blobs two row/col
+   rounds reach every pixel; a few extra rounds handle ragged masks.
+   No sequential border tracing, no data-dependent shapes.
+
+2. **Contour filters** (reference core.py:381-404): component pixel area
+   within [0.35, 1.0]·mask_area and bounding-box side ratio ≥ 0.6,
+   evaluated with masked reductions.
+
+3. **Corners** (replaces approxPolyDP at 10% arc length): the component's
+   convex hull sampled as support points over K fixed directions (ordered
+   by angle by construction), then Visvalingam–Whyatt decimation — remove
+   the vertex with the smallest triangle area until 4 remain.  For
+   quadrilateral blobs this converges to the same dominant corners the
+   10%-arclength polygon simplification finds, but is a fixed-iteration
+   loop over fixed-size arrays.
+
+4. **Orientation normalization** (reference core.py:406-411): emit corners
+   in OpenCV contour order (counter-clockwise in y-down image coords,
+   starting topmost) and apply the same rotate-if-pt0.x<pt2.x rule.
+
+Everything runs under ``jit``/``vmap``; a batch of masks goes in, a batch
+of quads + found-flags comes out, with no host round-trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Number of support directions for hull sampling.  128 gives 2.8° angular
+# resolution — ample for locating 4 dominant corners of a board blob.
+NUM_DIRECTIONS = 128
+
+# Rounds of row+column reachability propagation.  Convex blobs need 2;
+# extra rounds absorb ragged/noisy boundaries.
+FLOOD_ROUNDS = 6
+
+# Reference contour-filter thresholds (core.py:381-404).
+MIN_AREA_PERCENTAGE = 0.35
+MAX_AREA_PERCENTAGE = 1.0
+MIN_RATIO_BOUNDING = 0.6
+
+
+def _flood_scan(mask: jnp.ndarray, visited: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """One bidirectional segmented-reachability pass along ``axis``.
+
+    A pixel becomes visited if some visited pixel lies in the same
+    contiguous run of ``mask`` along the axis.  The transfer function of a
+    pixel is f(x) = m & (v | x); composition of transfer functions is
+    associative, so the whole pass is a log-depth associative scan.
+    """
+
+    # Each element is the affine boolean map f(x) = V | M & x with leaf
+    # values (M=m_i, V=m_i & v_i); composition stays in this form.
+    def combine_fwd(a, b):
+        # prefix scan composes "a then b": f_b ∘ f_a → V = Vb | Mb & Va
+        am, av = a
+        bm, bv = b
+        return am & bm, bv | (bm & av)
+
+    leaves = (mask, mask & visited)
+    _, fwd = lax.associative_scan(combine_fwd, leaves, axis=axis)
+    # Backward pass: flip, forward-scan, flip back (avoids depending on the
+    # operand-order convention of reverse=True for non-commutative ops).
+    flipped = tuple(jnp.flip(x, axis=axis) for x in leaves)
+    _, bwd_f = lax.associative_scan(combine_fwd, flipped, axis=axis)
+    bwd = jnp.flip(bwd_f, axis=axis)
+    return visited | fwd | bwd
+
+
+def connected_component(mask: jnp.ndarray, seed_flat: jnp.ndarray, rounds: int = FLOOD_ROUNDS) -> jnp.ndarray:
+    """Pixels of ``mask`` (H, W) bool connected to the seed (flat index).
+
+    Uses ``rounds`` alternating row/column reachability passes — exact for
+    convex components, and convergent for mildly non-convex ones.
+    """
+    h, w = mask.shape
+    visited = jnp.zeros((h * w,), jnp.bool_).at[seed_flat].set(True).reshape(h, w)
+    visited = visited & mask
+
+    def body(_, v):
+        v = _flood_scan(mask, v, axis=1)
+        v = _flood_scan(mask, v, axis=0)
+        return v
+
+    return lax.fori_loop(0, rounds, body, visited)
+
+
+def support_points(component: jnp.ndarray, k: int = NUM_DIRECTIONS) -> jnp.ndarray:
+    """(k, 2) hull support points (x, y) of a bool (H, W) component, ordered
+    by direction angle (one full turn), i.e. in hull-traversal order."""
+    h, w = component.shape
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    thetas = jnp.arange(k, dtype=jnp.float32) * (2.0 * jnp.pi / k)
+    cos = jnp.cos(thetas)
+    sin = jnp.sin(thetas)
+
+    neg = jnp.float32(-3.0e8)
+    flat_valid = component.reshape(-1)
+    flat_x = xs.reshape(-1)
+    flat_y = ys.reshape(-1)
+
+    def one_dir(cs):
+        c, s = cs
+        proj = jnp.where(flat_valid, flat_x * c + flat_y * s, neg)
+        idx = jnp.argmax(proj)
+        return jnp.stack([flat_x[idx], flat_y[idx]])
+
+    # lax.map keeps peak memory at one (H*W) projection per direction.
+    pts = lax.map(one_dir, (cos, sin))
+    return pts  # (k, 2) as (x, y)
+
+
+def decimate_to_quad(points: jnp.ndarray) -> jnp.ndarray:
+    """Visvalingam–Whyatt decimation of a closed polygon (k, 2), in order,
+    down to 4 vertices.  Returns (4, 2) in the original traversal order."""
+    k = points.shape[0]
+    idx = jnp.arange(k, dtype=jnp.int32)
+    prv = jnp.roll(idx, 1)
+    nxt = jnp.roll(idx, -1)
+    active = jnp.ones((k,), jnp.bool_)
+    big = jnp.float32(3.0e18)
+
+    def tri_areas(prv, nxt, active):
+        p = points
+        a = p[prv]
+        b = p
+        c = p[nxt]
+        area = jnp.abs((a[:, 0] - b[:, 0]) * (c[:, 1] - b[:, 1]) - (a[:, 1] - b[:, 1]) * (c[:, 0] - b[:, 0]))
+        # Deterministic tie-break: prefer removing lower indices first.
+        return jnp.where(active, area + idx.astype(jnp.float32) * 1e-6, big)
+
+    def body(_, state):
+        prv, nxt, active = state
+        areas = tri_areas(prv, nxt, active)
+        r = jnp.argmin(areas)
+        pr = prv[r]
+        nx = nxt[r]
+        active = active.at[r].set(False)
+        nxt = nxt.at[pr].set(nx)
+        prv = prv.at[nx].set(pr)
+        return prv, nxt, active
+
+    prv, nxt, active = lax.fori_loop(0, k - 4, body, (prv, nxt, active))
+
+    # Walk the remaining 4-cycle starting from the smallest active index so
+    # the output order is deterministic and follows hull traversal order.
+    start = jnp.argmax(active)
+    i0 = start
+    i1 = nxt[i0]
+    i2 = nxt[i1]
+    i3 = nxt[i2]
+    return points[jnp.stack([i0, i1, i2, i3])]
+
+
+def order_like_reference(quad: jnp.ndarray) -> jnp.ndarray:
+    """Normalize corner order to the reference's convention.
+
+    Our hull traversal (direction angle 0→2π with y pointing down) is
+    clockwise on screen; OpenCV traces outer contours counter-clockwise on
+    screen, so reverse.  Start from the topmost corner (OpenCV's border
+    following starts at the first boundary pixel in raster order), then
+    apply the reference's rotate rule (core.py:406-411): if pt0.x < pt2.x,
+    take order [3, 0, 1, 2].
+    """
+    q = quad[::-1]  # reverse traversal direction to match OpenCV
+
+    # rotate so the topmost (then leftmost) corner is first
+    score = q[:, 1] * 4096.0 + q[:, 0]
+    start = jnp.argmin(score)
+    idx = (jnp.arange(4) + start) % 4
+    q = q[idx]
+
+    rotated = q[jnp.array([3, 0, 1, 2])]
+    return jnp.where(q[0, 0] < q[2, 0], rotated, q)
+
+
+@partial(jax.jit, static_argnames=("k", "rounds"))
+def find_quadrangle(
+    probabilities: jnp.ndarray,
+    threshold: float | jnp.ndarray = 0.5,
+    k: int = NUM_DIRECTIONS,
+    rounds: int = FLOOD_ROUNDS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Find the board quadrangle in one probability mask (H, W) float.
+
+    Returns (quad (4, 2) float32 in mask pixel coords, found bool).
+    Mirrors reference process_board_extraction_logits geometry semantics
+    (core.py:276-295) with the dominant component selected by the
+    highest-probability seed.
+    """
+    h, w = probabilities.shape
+    mask = probabilities > threshold
+
+    # Seed = highest *locally-averaged* probability among foreground pixels,
+    # so an isolated speck can never capture the seed even on hard binary
+    # masks (the reference instead iterates all contours; we pick the
+    # dominant component directly).
+    smoothed = lax.reduce_window(
+        probabilities, 0.0, lax.add, (9, 9), (1, 1), "SAME"
+    )
+    seed = jnp.argmax(jnp.where(mask, smoothed, -1.0).reshape(-1))
+
+    comp = connected_component(mask, seed, rounds)
+    area = jnp.sum(comp, dtype=jnp.float32)
+    foreground = jnp.sum(mask, dtype=jnp.float32)
+    mask_area = jnp.float32(h * w)
+
+    ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    big = jnp.int32(1 << 30)
+    min_x = jnp.min(jnp.where(comp, xs, big))
+    max_x = jnp.max(jnp.where(comp, xs, -big))
+    min_y = jnp.min(jnp.where(comp, ys, big))
+    max_y = jnp.max(jnp.where(comp, ys, -big))
+    bb_w = (max_x - min_x + 1).astype(jnp.float32)
+    bb_h = (max_y - min_y + 1).astype(jnp.float32)
+    ratio = jnp.minimum(bb_w, bb_h) / jnp.maximum(jnp.maximum(bb_w, bb_h), 1.0)
+
+    pts = support_points(comp, k)
+    quad = decimate_to_quad(pts)
+    quad = order_like_reference(quad)
+
+    # Quad polygon area (shoelace) — used as a fit check: a component whose
+    # hull-quad wildly over-covers its pixel area is not quadrilateral
+    # (reference: approxPolyDP returned != 4 points → no board).
+    x = quad[:, 0]
+    y = quad[:, 1]
+    quad_area = 0.5 * jnp.abs(jnp.sum(x * jnp.roll(y, -1) - jnp.roll(x, -1) * y))
+
+    # The reference applies the area/ratio filters only when MORE than one
+    # contour exists (core.py:362-366); with a single clean blob any 4-gon
+    # is accepted.  Device equivalent: filter only when the seeded
+    # component does not cover the whole foreground.
+    multiple = area < foreground
+    filters_pass = (
+        (area / mask_area >= MIN_AREA_PERCENTAGE)
+        & (area / mask_area <= MAX_AREA_PERCENTAGE)
+        & (ratio >= MIN_RATIO_BOUNDING)
+    )
+    found = (
+        jnp.where(multiple, filters_pass, True)
+        & (quad_area <= 1.45 * area)
+        & (area > 0)
+    )
+    return quad.astype(jnp.float32), found
+
+
+def find_quadrangle_batch(
+    probabilities: jnp.ndarray,
+    threshold: float | jnp.ndarray = 0.5,
+    k: int = NUM_DIRECTIONS,
+    rounds: int = FLOOD_ROUNDS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ``find_quadrangle``: (B, H, W) → ((B, 4, 2), (B,))."""
+    fn = lambda p: find_quadrangle(p, threshold, k, rounds)
+    return jax.vmap(fn)(probabilities)
+
+
+def scale_quadrangle(quad: jnp.ndarray, orig_h: jnp.ndarray | float, mask_h: int = 256) -> jnp.ndarray:
+    """Scale mask-space quad to original-image coords.  The reference scales
+    BOTH axes by orig_height/256 (core.py:413-417) — including its quirk of
+    using the height factor for x — preserved for output parity."""
+    sf = jnp.asarray(orig_h, jnp.float32) / jnp.float32(mask_h)
+    return quad * sf

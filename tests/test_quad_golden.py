@@ -1,0 +1,168 @@
+"""Golden tests for on-device quadrangle extraction vs the reference's
+OpenCV pipeline, replayed with cv2 as the oracle on the checked-in
+ground-truth masks (data/board_extraction/masks)."""
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from chessvision_tpu import constants
+from chessvision_tpu.ops import quad as quad_ops
+
+MASK_DIR = Path(constants.DATA_ROOT) / "board_extraction" / "masks"
+
+pytestmark = pytest.mark.skipif(not MASK_DIR.exists(), reason="fixture masks not available")
+
+
+def _reference_find_quadrangle(mask: np.ndarray) -> np.ndarray | None:
+    """cv2 oracle replaying reference core.py:357-417 semantics."""
+    contours, _ = cv2.findContours(mask, cv2.RETR_CCOMP, cv2.CHAIN_APPROX_TC89_KCOS)
+    if len(contours) > 1:
+        filtered = []
+        mask_area = float(mask.shape[0] * mask.shape[1])
+        for c in contours:
+            area = cv2.contourArea(c) / mask_area
+            if area < 0.35 or area > 1.0:
+                continue
+            _, _, w, h = cv2.boundingRect(c)
+            if min(h, w) / float(max(h, w)) < 0.6 if (h and w) else True:
+                continue
+            filtered.append(c)
+        contours = filtered
+    if not contours:
+        return None
+    for c in contours:
+        arclen = cv2.arcLength(c, True)
+        cand = cv2.approxPolyDP(c, 0.1 * arclen, True)
+        if len(cand) == 4:
+            approx = cand
+            if approx[0, 0, 0] < approx[2, 0, 0]:
+                approx = approx[[3, 0, 1, 2], :, :]
+            return approx.reshape(4, 2).astype(np.float32)
+    return None
+
+
+def _load_masks(limit: int) -> list[np.ndarray]:
+    paths = sorted(MASK_DIR.glob("*.png"))[:limit]
+    masks = []
+    for p in paths:
+        m = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            continue
+        if m.shape != (256, 256):
+            m = cv2.resize(m, (256, 256), interpolation=cv2.INTER_NEAREST)
+        masks.append(np.where(m > 127, np.uint8(255), np.uint8(0)))
+    return masks
+
+
+def _corner_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Max pointwise distance after aligning cyclic order (a fixed, b tried
+    in all 4 rotations, no reflection — order convention must match)."""
+    best = np.inf
+    for r in range(4):
+        d = np.linalg.norm(a - np.roll(b, r, axis=0), axis=1).max()
+        best = min(best, d)
+    return float(best)
+
+
+def test_quadrangles_match_cv2_oracle_on_fixture_masks() -> None:
+    masks = _load_masks(limit=60)
+    assert len(masks) >= 30
+
+    probs = np.stack([m.astype(np.float32) / 255.0 for m in masks])
+    quads, found = quad_ops.find_quadrangle_batch(probs, 0.5)
+    quads = np.asarray(quads)
+    found = np.asarray(found)
+
+    agree_found = 0
+    dists = []
+    aligned_start = 0
+    compared = 0
+    for i, m in enumerate(masks):
+        ref = _reference_find_quadrangle(m)
+        if ref is None or not found[i]:
+            agree_found += int((ref is None) == (not found[i]))
+            continue
+        agree_found += 1
+        compared += 1
+        dists.append(_corner_distance(ref, quads[i]))
+        # check the starting vertex + direction convention matches exactly
+        if np.linalg.norm(ref - quads[i], axis=1).max() == min(
+            np.linalg.norm(ref - np.roll(quads[i], r, axis=0), axis=1).max() for r in range(4)
+        ):
+            aligned_start += 1
+
+    dists = np.array(dists)
+    assert compared >= 25, f"too few comparable masks: {compared}"
+    assert agree_found / len(masks) >= 0.9, f"found-flag agreement {agree_found}/{len(masks)}"
+    # corners should agree to a few pixels on clean ground-truth masks
+    assert np.median(dists) <= 4.0, np.median(dists)
+    assert (dists <= 8.0).mean() >= 0.9, (np.sort(dists)[-5:], (dists <= 8.0).mean())
+    # ordering convention (start corner + direction) must match on most
+    assert aligned_start / compared >= 0.85, aligned_start / compared
+
+
+def test_synthetic_rotated_square() -> None:
+    """An exact rotated square: corners must be recovered within 2 px."""
+    mask = np.zeros((256, 256), np.uint8)
+    pts = np.array([[128, 30], [226, 128], [128, 226], [30, 128]], np.int32)
+    cv2.fillConvexPoly(mask, pts, 255)
+    quad, found = quad_ops.find_quadrangle(mask.astype(np.float32) / 255.0, 0.5)
+    assert bool(found)
+    quad = np.asarray(quad)
+    # geometry-only check: allow either traversal direction
+    d = min(
+        _corner_distance(pts.astype(np.float32), quad),
+        _corner_distance(pts[::-1].astype(np.float32), quad),
+    )
+    assert d <= 3.0, (quad, d)
+
+
+def test_small_single_blob_accepted_like_reference() -> None:
+    """Reference quirk preserved: with a SINGLE contour the area/ratio
+    filters are skipped (core.py:362-366), so even a small lone blob is
+    accepted as a board candidate."""
+    mask = np.zeros((256, 256), np.float32)
+    mask[100:150, 100:150] = 1.0
+    _, found = quad_ops.find_quadrangle(mask, 0.5)
+    assert bool(found)
+
+
+def test_small_blob_among_multiple_rejected() -> None:
+    """With multiple components the filters apply: a sub-35%-area dominant
+    component is rejected (reference core.py:381-404)."""
+    mask = np.zeros((256, 256), np.float32)
+    mask[100:150, 100:150] = 1.0  # dominant blob, ~3.8% area
+    mask[10:13, 200:203] = 0.9  # second lower-probability speck
+    _, found = quad_ops.find_quadrangle(mask, 0.5)
+    assert not bool(found)
+
+
+def test_empty_mask_rejected() -> None:
+    mask = np.zeros((256, 256), np.float32)
+    _, found = quad_ops.find_quadrangle(mask, 0.5)
+    assert not bool(found)
+
+
+def test_speck_noise_ignored() -> None:
+    """A dominant board blob plus far-away specks: the seeded component
+    selection must ignore the specks (reference: contour filters)."""
+    mask = np.zeros((256, 256), np.uint8)
+    pts = np.array([[40, 40], [215, 50], [220, 220], [35, 210]], np.int32)
+    cv2.fillConvexPoly(mask, pts, 255)
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        y, x = rng.integers(0, 30, 2)
+        mask[y : y + 3, x : x + 3] = 255
+    probs = mask.astype(np.float32) / 255.0
+    # make a board pixel the argmax seed
+    probs[128, 128] = 1.0
+    quad, found = quad_ops.find_quadrangle(probs, 0.5)
+    assert bool(found)
+    d = min(
+        _corner_distance(pts.astype(np.float32), np.asarray(quad)),
+        _corner_distance(pts[::-1].astype(np.float32), np.asarray(quad)),
+    )
+    assert d <= 4.0, (np.asarray(quad), d)
