@@ -1,0 +1,239 @@
+"""The fused image→FEN inference engine.
+
+This is the TPU-native re-centering of the reference's per-image,
+host-hopping pipeline (reference core.py:152-249 — 2 uploads + 2 downloads
+per image, with contours and warping on host CPU, SURVEY.md §3.1): one
+jitted, batched function takes uint8 images and produces segmentation
+logits, binary masks, quadrangles, rectified boards and per-square class
+probabilities **entirely on device** — resize (matmul), UNet forward,
+sigmoid+threshold, flood-fill quadrangle extraction, homography solve,
+bilinear warp, grayscale/flip, 8×8 slicing and the 64-way classifier
+forward are a single XLA program, optionally sharded over a device mesh
+on the batch axis.
+
+Only FEN string assembly and the rule-based validation happen on host
+(string work, microseconds per board).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chessvision_tpu import constants
+from chessvision_tpu.chessboard import labels_to_fen
+from chessvision_tpu.cv_types import BatchResult, ValidationFix
+from chessvision_tpu.ops import (
+    bgr_to_gray,
+    extract_squares_batch,
+    get_perspective_transform,
+    hflip,
+    resize,
+    warp_perspective,
+)
+from chessvision_tpu.ops.quad import find_quadrangle_batch, scale_quadrangle
+from chessvision_tpu.parallel import mesh as mesh_lib
+
+# Destination corners for the rectified board — note (w, h), not (w-1, h-1),
+# matching the reference exactly (utils.py:127-128).
+_BOARD_W, _BOARD_H = constants.BOARD_SIZE
+_DEST = np.array(
+    [[0.0, 0.0], [_BOARD_W, 0.0], [_BOARD_W, _BOARD_H], [0.0, _BOARD_H]], np.float32
+)
+
+
+def process_images_fn(
+    extractor: Any,
+    classifier: Any,
+    classifier_outputs_probabilities: bool,
+) -> Any:
+    """Build the pure batched pipeline function for a (extractor,
+    classifier) module pair.  The returned function is jit-compatible and
+    fully shardable on the batch axis."""
+
+    def fn(
+        extractor_vars: Any,
+        classifier_vars: Any,
+        images: jnp.ndarray,  # (B, H, W, 3) uint8, BGR
+        threshold: jnp.ndarray,  # scalar f32
+    ) -> dict[str, jnp.ndarray]:
+        b, h, w, _ = images.shape
+
+        # 1. area-resize to the segmentation input size (two matmuls), with
+        #    the reference's exact uint8 round-trip before normalization
+        comp = resize(images, constants.INPUT_SIZE, round_uint8=True)
+        x = comp.astype(jnp.float32) / 255.0
+
+        # 2. UNet forward (bf16 on MXU) → logits (B, 256, 256)
+        seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
+        probs = jax.nn.sigmoid(seg_logits)
+        binary_mask = jnp.where(probs > threshold, jnp.uint8(255), jnp.uint8(0))
+
+        # 3. quadrangle extraction on device
+        quad, found = find_quadrangle_batch(probs, threshold)
+        quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
+
+        # 4. homography + warp + grayscale + horizontal flip.
+        #    Grayscale commutes with the (linear) bilinear warp, so convert
+        #    first and warp a single channel — 3× fewer gathers than the
+        #    reference's warp-then-convert order, numerically identical in
+        #    f32 (reference core.py:298-300).
+        safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
+        ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(safe_quad)
+        gray = bgr_to_gray(images.astype(jnp.float32))
+        boards = warp_perspective(gray, ms, constants.BOARD_SIZE)  # (B, 512, 512) f32
+        boards = hflip(boards)
+        boards_u8 = jnp.clip(jnp.floor(boards + 0.5), 0, 255).astype(jnp.uint8)
+
+        # 5. 8×8 slicing + batched 64-square classification
+        squares = extract_squares_batch(boards)  # (B, 64, 64, 64, 1) f32
+        cls_in = squares.reshape(b * 64, *constants.PIECE_SIZE, 1) / 255.0
+        cls_out = classifier.apply(classifier_vars, cls_in)
+        if classifier_outputs_probabilities:
+            cls_probs = cls_out
+        else:
+            cls_probs = jax.nn.softmax(cls_out, axis=-1)
+        cls_probs = cls_probs.reshape(b, 64, constants.NUM_CLASSES).astype(jnp.float32)
+
+        return {
+            "logits": seg_logits,
+            "binary_mask": binary_mask,
+            "quadrangle": quad_scaled,
+            "found": found,
+            "board_image": boards_u8,
+            "probabilities": cls_probs,
+        }
+
+    return fn
+
+
+def validate_labels_batch(
+    probabilities: np.ndarray,  # (B, 64, 13)
+    square_names: list[str],
+) -> tuple[list[list[str]], list[list[ValidationFix]]]:
+    """Vectorized host-side port of the reference's validation rule
+    (no pawns on the back ranks → next-best non-pawn; core.py:441-567)."""
+    b = probabilities.shape[0]
+    preds = np.argmax(probabilities, axis=-1)  # (B, 64)
+    labels = np.asarray(constants.LABEL_NAMES, dtype=object)[preds]  # (B, 64)
+
+    pawn_idx = {constants.LABEL_INDICES["P"], constants.LABEL_INDICES["p"]}
+    invalid_rows = [
+        i for i, name in enumerate(square_names) if name in constants.INVALID_PAWN_SQUARES
+    ]
+
+    all_labels: list[list[str]] = []
+    all_fixes: list[list[ValidationFix]] = []
+    # candidates sorted descending only for the 16 squares that can need fixing
+    order = np.argsort(-probabilities[:, invalid_rows, :], axis=-1)  # (B, 16, 13)
+    for bi in range(b):
+        row_labels = list(labels[bi])
+        fixes: list[ValidationFix] = []
+        for ii, sq in enumerate(invalid_rows):
+            if preds[bi, sq] in pawn_idx:
+                for alt in order[bi, ii]:
+                    if int(alt) not in pawn_idx:
+                        alt_piece = constants.LABEL_NAMES[int(alt)]
+                        fixes.append(
+                            ValidationFix(
+                                square_name=square_names[sq],
+                                original_piece=row_labels[sq],
+                                corrected_piece=alt_piece,
+                                rule_name="no_pawns_on_ends",
+                            )
+                        )
+                        row_labels[sq] = alt_piece
+                        break
+        all_labels.append(row_labels)
+        all_fixes.append(fixes)
+    return all_labels, all_fixes
+
+
+class Engine:
+    """Compiled batched image→FEN engine over an optional device mesh.
+
+    One instance holds the model variables on device and a jit cache per
+    input shape.  ``process_batch`` is the throughput API; the per-image
+    ``ChessVision`` facade (core.py) wraps it for the reference's API.
+    """
+
+    def __init__(
+        self,
+        extractor: Any,
+        extractor_vars: Any,
+        classifier: Any,
+        classifier_vars: Any,
+        *,
+        classifier_outputs_probabilities: bool = False,
+        mesh: Any = None,
+        donate_inputs: bool = False,
+    ) -> None:
+        self.mesh = mesh
+        self._fn = process_images_fn(extractor, classifier, classifier_outputs_probabilities)
+        if mesh is not None:
+            self._ex_vars = jax.device_put(extractor_vars, mesh_lib.replicate(mesh))
+            self._cl_vars = jax.device_put(classifier_vars, mesh_lib.replicate(mesh))
+        else:
+            self._ex_vars = extractor_vars
+            self._cl_vars = classifier_vars
+        self._jitted = jax.jit(self._fn)
+
+    # -- device path ---------------------------------------------------------
+
+    def run_device(self, images: np.ndarray | jnp.ndarray, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
+        """Run the fused pipeline; returns device arrays (no host sync)."""
+        if self.mesh is not None:
+            n = self.mesh.size
+            images, orig = mesh_lib.pad_to_multiple(np.asarray(images), n)
+            images = jax.device_put(images, mesh_lib.data_sharding(self.mesh, 4))
+            out = self._jitted(self._ex_vars, self._cl_vars, images, jnp.float32(threshold))
+            return {k: v[:orig] for k, v in out.items()}
+        images = jnp.asarray(images)
+        return self._jitted(self._ex_vars, self._cl_vars, images, jnp.float32(threshold))
+
+    # -- host result assembly --------------------------------------------------
+
+    def process_batch(
+        self,
+        images: np.ndarray,
+        threshold: float = 0.5,
+        flip: bool = False,
+    ) -> BatchResult:
+        """Full image→FEN over a uniform-shape batch (B, H, W, 3) uint8."""
+        out = self.run_device(images, threshold)
+        out = jax.tree.map(np.asarray, out)
+
+        square_names = (
+            constants.SQUARE_NAMES_FLIPPED if flip else constants.SQUARE_NAMES_NORMAL
+        )
+        probs = out["probabilities"]
+        found = out["found"]
+
+        original_fens: list[str] = []
+        fens: list[str] = []
+        labels = np.asarray(constants.LABEL_NAMES, dtype=object)[np.argmax(probs, axis=-1)]
+        validated, fixes = validate_labels_batch(probs, square_names)
+        for bi in range(images.shape[0]):
+            if not found[bi]:
+                original_fens.append("")
+                fens.append("")
+                continue
+            original_fens.append(labels_to_fen(list(labels[bi]), square_names))
+            fens.append(labels_to_fen(validated[bi], square_names))
+
+        return BatchResult(
+            logits=out["logits"],
+            binary_mask=out["binary_mask"],
+            quadrangle=out["quadrangle"],
+            board_found=found,
+            board_image=out["board_image"],
+            probabilities=probs,
+            fens=fens,
+            original_fens=original_fens,
+            validation_fixes=[f if found[i] else [] for i, f in enumerate(fixes)],
+            extra={"square_names": square_names},
+        )

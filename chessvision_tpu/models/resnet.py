@@ -65,5 +65,13 @@ class ResNet(nn.Module):
         return logits
 
 
-def resnet18(num_classes: int = 13, in_channels: int = 1, dtype: Any = jnp.bfloat16) -> ResNet:
-    return ResNet(num_classes=num_classes, in_channels=in_channels, stage_sizes=(2, 2, 2, 2), dtype=dtype)
+def resnet18(
+    num_classes: int = 13, in_channels: int = 1, width: int = 64, dtype: Any = jnp.bfloat16
+) -> ResNet:
+    return ResNet(
+        num_classes=num_classes,
+        in_channels=in_channels,
+        stage_sizes=(2, 2, 2, 2),
+        width=width,
+        dtype=dtype,
+    )

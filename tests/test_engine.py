@@ -1,0 +1,175 @@
+"""Engine tests: the fused batched pipeline with stub models for
+deterministic geometry/FEN checks, and real (random-init) models for
+shape/contract checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chessvision_tpu import constants
+from chessvision_tpu.chessboard import fen_to_labels
+from chessvision_tpu.engine import Engine, validate_labels_batch
+
+START_FEN = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR"
+
+
+class StubExtractor:
+    """Returns fixed segmentation logits regardless of input."""
+
+    def __init__(self, logits_256: np.ndarray):
+        self._logits = jnp.asarray(logits_256, jnp.float32)
+
+    def apply(self, variables, x, **kw):
+        b = x.shape[0]
+        return jnp.broadcast_to(self._logits[None, :, :, None], (b, 256, 256, 1))
+
+
+class StubClassifier:
+    """Returns fixed per-square class logits regardless of input."""
+
+    def __init__(self, logits_64x13: np.ndarray):
+        self._logits = jnp.asarray(logits_64x13, jnp.float32)
+
+    def apply(self, variables, x, **kw):
+        n = x.shape[0]
+        reps = n // 64
+        return jnp.tile(self._logits, (reps, 1))
+
+
+def _quad_logits(quad_pts: np.ndarray) -> np.ndarray:
+    """Segmentation logits: +8 inside the quad, -8 outside."""
+    import cv2
+
+    mask = np.zeros((256, 256), np.uint8)
+    cv2.fillConvexPoly(mask, quad_pts.astype(np.int32), 255)
+    return np.where(mask > 0, 8.0, -8.0).astype(np.float32)
+
+
+def _start_position_logits() -> np.ndarray:
+    labels = fen_to_labels(START_FEN)  # FEN order == SQUARE_NAMES_NORMAL order
+    out = np.full((64, 13), -5.0, np.float32)
+    for i, lab in enumerate(labels):
+        out[i, constants.LABEL_INDICES[lab]] = 5.0
+    return out
+
+
+@pytest.fixture(scope="module")
+def stub_engine() -> Engine:
+    quad = np.array([[32, 28], [224, 30], [226, 228], [30, 226]], np.float32)
+    return Engine(
+        StubExtractor(_quad_logits(quad)),
+        {},
+        StubClassifier(_start_position_logits()),
+        {},
+    )
+
+
+def test_engine_end_to_end_fen(stub_engine: Engine) -> None:
+    images = np.random.default_rng(0).integers(0, 256, (2, 512, 512, 3), np.uint8)
+    result = stub_engine.process_batch(images, threshold=0.5)
+    assert result.board_found.all()
+    assert result.fens == [START_FEN, START_FEN]
+    assert result.original_fens == [START_FEN, START_FEN]
+    assert result.board_image.shape == (2, 512, 512)
+    assert result.probabilities.shape == (2, 64, 13)
+    assert result.quadrangle.shape == (2, 4, 2)
+    # quad scaled to original 512-image coords: roughly 2x the mask coords
+    assert 40 <= result.quadrangle[0, :, 0].min() <= 80
+    assert result.validation_fixes[0] == []
+
+
+def test_engine_flip_orientation(stub_engine: Engine) -> None:
+    images = np.zeros((1, 512, 512, 3), np.uint8)
+    result = stub_engine.process_batch(images, threshold=0.5, flip=True)
+    # same per-square labels but assigned to flipped square names reverses
+    # the position
+    want = "/".join(
+        "".join(reversed(row)) for row in reversed(START_FEN.split("/"))
+    )
+    assert result.fens[0] == want
+
+
+def test_engine_not_found_flag() -> None:
+    eng = Engine(
+        StubExtractor(np.full((256, 256), -8.0, np.float32)),
+        {},
+        StubClassifier(_start_position_logits()),
+        {},
+    )
+    images = np.zeros((1, 512, 512, 3), np.uint8)
+    result = eng.process_batch(images)
+    assert not result.board_found.any()
+    assert result.fens == [""]
+    assert result.validation_fixes == [[]]
+
+
+def test_validation_rule_applied() -> None:
+    """Pawns predicted on the back ranks get replaced by next-best class."""
+    logits = _start_position_logits()
+    # corrupt a8 (index 0): make 'P' the top class, rook 'r' second
+    logits[0, :] = -5.0
+    logits[0, constants.LABEL_INDICES["P"]] = 5.0
+    logits[0, constants.LABEL_INDICES["r"]] = 4.0
+
+    quad = np.array([[32, 28], [224, 30], [226, 228], [30, 226]], np.float32)
+    eng = Engine(StubExtractor(_quad_logits(quad)), {}, StubClassifier(logits), {})
+    result = eng.process_batch(np.zeros((1, 512, 512, 3), np.uint8))
+    assert result.original_fens[0] == "Pnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR"
+    assert result.fens[0] == START_FEN
+    fixes = result.validation_fixes[0]
+    assert len(fixes) == 1
+    assert fixes[0].square_name == "a8"
+    assert fixes[0].original_piece == "P"
+    assert fixes[0].corrected_piece == "r"
+    assert fixes[0].rule_name == "no_pawns_on_ends"
+
+
+def test_validate_labels_batch_no_pawn_untouched() -> None:
+    probs = np.zeros((1, 64, 13), np.float32)
+    probs[0, :, constants.LABEL_INDICES["f"]] = 1.0
+    labels, fixes = validate_labels_batch(probs, constants.SQUARE_NAMES_NORMAL)
+    assert fixes == [[]]
+    assert all(l == "f" for l in labels[0])
+
+
+def test_engine_with_real_models_shapes() -> None:
+    """Random-init real models through the full fused pipeline: contract
+    check (shapes/dtypes/finiteness), small widths for CPU speed."""
+    from chessvision_tpu import models
+
+    ex, _ = models.create_extractor("yolo", dtype=jnp.float32, width=8)
+    cl, cl_spec = models.create_classifier("yolo", dtype=jnp.float32, width=8)
+    key = jax.random.PRNGKey(0)
+    ex_vars = ex.init(key, jnp.zeros((1, 256, 256, 3)))
+    cl_vars = cl.init(key, jnp.zeros((1, 64, 64, 1)))
+    eng = Engine(ex, ex_vars, cl, cl_vars, classifier_outputs_probabilities=cl_spec.outputs_probabilities)
+    images = np.random.default_rng(1).integers(0, 256, (2, 512, 512, 3), np.uint8)
+    result = eng.process_batch(images)
+    assert result.logits.shape == (2, 256, 256)
+    assert result.binary_mask.dtype == np.uint8
+    assert result.probabilities.shape == (2, 64, 13)
+    assert np.isfinite(result.probabilities).all()
+    assert result.board_found.dtype == bool
+
+
+def test_engine_sharded_over_mesh() -> None:
+    """The fused pipeline sharded over the 8-device CPU mesh, with batch
+    padding for non-divisible sizes."""
+    from chessvision_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    assert mesh.size == 8
+    quad = np.array([[32, 28], [224, 30], [226, 228], [30, 226]], np.float32)
+    eng = Engine(
+        StubExtractor(_quad_logits(quad)),
+        {},
+        StubClassifier(_start_position_logits()),
+        {},
+        mesh=mesh,
+    )
+    images = np.zeros((5, 512, 512, 3), np.uint8)  # 5 not divisible by 8
+    result = eng.process_batch(images)
+    assert len(result.fens) == 5
+    assert result.fens == [START_FEN] * 5
