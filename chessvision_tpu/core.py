@@ -70,6 +70,9 @@ class ChessVision:
         model_kwargs: dict | None = None,
     ) -> None:
         logger.info("Initializing ChessVision instance...")
+        from chessvision_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self._board_extractor: Any = None  # (module, spec, variables)
         self._classifier: Any = None
         self._board_extractor_weights = board_extractor_weights or constants.BEST_EXTRACTOR_WEIGHTS

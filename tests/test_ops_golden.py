@@ -110,16 +110,35 @@ def test_get_perspective_transform_matches_cv2(rng_mod: np.random.Generator) -> 
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
-def test_warp_perspective_matches_cv2(img512: np.ndarray, rng_mod: np.random.Generator) -> None:
+def test_warp_perspective_bilinear_matches_cv2(img512: np.ndarray, rng_mod: np.random.Generator) -> None:
+    """The exact-arithmetic gather path vs cv2 (parity mode)."""
     src = _random_quad(rng_mod, 512, 512)
     dst = np.array([[0, 0], [512, 0], [512, 512], [0, 512]], np.float32)
     m = cv2.getPerspectiveTransform(src, dst)
     want = cv2.warpPerspective(img512, m, (512, 512))
-    got = np.asarray(ops.warp_perspective(img512, m.astype(np.float32), (512, 512), round_uint8=True))
+    got = np.asarray(
+        ops.warp_perspective(img512, m.astype(np.float32), (512, 512), round_uint8=True, method="bilinear")
+    )
     diff = np.abs(got.astype(int) - want.astype(int))
     # cv2 interpolates with 5-bit fixed-point weights; allow small deviations
     assert diff.mean() < 1.0
     assert (diff > 4).mean() < 0.01
+
+
+def test_warp_perspective_twopass_close_to_cv2(img512: np.ndarray, rng_mod: np.random.Generator) -> None:
+    """The gather-free two-pass TPU path: same geometry, slightly different
+    interpolation footprint — must stay within ~1 level on average even on
+    white noise (the worst case) and have no large outliers."""
+    src = _random_quad(rng_mod, 512, 512)
+    dst = np.array([[0, 0], [512, 0], [512, 512], [0, 512]], np.float32)
+    m = cv2.getPerspectiveTransform(src, dst)
+    want = cv2.warpPerspective(img512, m, (512, 512))
+    got = np.asarray(
+        ops.warp_perspective(img512, m.astype(np.float32), (512, 512), round_uint8=True, method="twopass")
+    )
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 16).mean() < 0.01, (diff > 16).mean()
 
 
 def test_warp_full_board_pipeline_vs_cv2(img512: np.ndarray, rng_mod: np.random.Generator) -> None:
