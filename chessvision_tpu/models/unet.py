@@ -87,7 +87,9 @@ class UNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, return_features: bool = False
+    ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
         factor = 2 if self.bilinear else 1
         b = self.base
         x = x.astype(self.dtype)
@@ -101,4 +103,9 @@ class UNet(nn.Module):
         x = Up(b * 2 // factor, self.bilinear, dtype=self.dtype, name="up3")(x, x2, train)
         x = Up(b, self.bilinear, dtype=self.dtype, name="up4")(x, x1, train)
         logits = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype, name="outc")(x)
+        if return_features:
+            # pooled bottleneck embedding — the analogue of the reference's
+            # module-index-52 hook (train_unet.py:210-211)
+            features = jnp.mean(x5, axis=(1, 2)).astype(jnp.float32)
+            return logits.astype(jnp.float32), features
         return logits.astype(jnp.float32)

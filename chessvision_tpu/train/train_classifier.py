@@ -1,0 +1,305 @@
+"""Piece classifier trainer.
+
+Optax/TPU re-implementation of the reference's scripts/train/
+train_classifier.py: Adam + CrossEntropy + StepLR(step 4, gamma 0.1),
+early stopping, best-val-accuracy checkpointing (with optimizer state
+metadata), per-sample classification metrics + embeddings (the models'
+feature tap replaces the module-index-90 hook), augmentations
+(RandomAffine/RandomRotation) as batched device ops.
+
+Note on normalization: the reference trains with Normalize(0.564, 0.246)
+(train_classifier.py:41) but serves with a bare /255 (core.py:237) — a
+train/serve skew.  This framework uses /255 consistently in both paths.
+
+Run: python -m chessvision_tpu.train.train_classifier --epochs 10 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from typing import Any
+
+import numpy as np
+
+from chessvision_tpu import constants
+from chessvision_tpu.utils import enable_compilation_cache, setup_logger
+
+logger = logging.getLogger(__name__)
+
+PIECE_CLASSIFICATION_PROJECT = "chessvision-classification"  # reference config.py:9
+
+LR_SCHEDULER_STEP_SIZE = 4  # reference train_classifier.py:30
+LR_SCHEDULER_GAMMA = 0.1
+
+
+def train_model(
+    *,
+    model_id: str = "resnet18",
+    epochs: int = 10,
+    batch_size: int = 256,
+    learning_rate: float = 1e-3,
+    run_name: str | None = None,
+    run_description: str | None = None,
+    use_sample_weights: bool = False,
+    collection_frequency: int = 5,
+    patience: int = 5,
+    seed: int = 42,
+    augment: bool = True,
+    model_dtype: Any = None,
+    use_mesh: bool = True,
+    width: int | None = None,
+) -> tuple[Any, str]:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from chessvision_tpu import models, runstore
+    from chessvision_tpu.checkpoint import save_checkpoint
+    from chessvision_tpu.parallel import create_mesh, replicate
+    from chessvision_tpu.runstore import metrics as collectors
+    from chessvision_tpu.train import data as data_lib
+    from chessvision_tpu.train.augment import augment_classification_batch
+    from chessvision_tpu.train.steps import TrainState, make_cls_eval_step, make_cls_train_step
+
+    enable_compilation_cache()
+    if model_dtype is None:
+        model_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    run = runstore.init(
+        PIECE_CLASSIFICATION_PROJECT,
+        run_name,
+        parameters={
+            "model_id": model_id,
+            "epochs": epochs,
+            "batch_size": batch_size,
+            "learning_rate": learning_rate,
+            "use_sample_weights": use_sample_weights,
+            "augment": augment,
+            "seed": seed,
+        },
+        description=run_description,
+    )
+    checkpoint_path = str(run.bulk_data_url / "checkpoint.npz")
+
+    data = data_lib.load_squares()
+    n_train, n_val = len(data.train_labels), len(data.val_labels)
+    logger.info("Training on %d / validating on %d squares", n_train, n_val)
+
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = create_mesh()
+        batch_size -= batch_size % mesh.size
+
+    kwargs = {"width": width} if width else {}
+    model, spec = models.create_classifier(model_id, dtype=model_dtype, **kwargs)
+    rng_np = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    variables = model.init(key, jnp.zeros((1, 64, 64, 1), jnp.float32))
+
+    # StepLR(step_size=4, gamma=0.1)
+    steps_per_epoch = max(1, n_train // batch_size)
+    schedule = optax.exponential_decay(
+        learning_rate,
+        transition_steps=LR_SCHEDULER_STEP_SIZE * steps_per_epoch,
+        decay_rate=LR_SCHEDULER_GAMMA,
+        staircase=True,
+    )
+    tx = optax.adam(schedule)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    if mesh is not None:
+        state = jax.device_put(state, replicate(mesh))
+
+    train_step = make_cls_train_step(mesh)
+    eval_step = make_cls_eval_step()
+
+    @jax.jit
+    def collect_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
+        logits, features = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            return_features=True,
+        )
+        m = collectors.classification_metrics(logits, labels)
+        m.update(collectors.top2_margin_and_entropy(jax.nn.softmax(logits, axis=-1)))
+        m["embedding"] = features
+        return m
+
+    def run_validation(state: TrainState) -> tuple[float, float]:
+        losses, correct = 0.0, 0
+        for idx in data_lib.batches(n_val, 512):
+            imgs = jnp.asarray(data.val_images[idx], jnp.float32)[..., None] / 255.0
+            labs = jnp.asarray(data.val_labels[idx])
+            m = eval_step(state, imgs, labs)
+            losses += float(m["loss"]) * len(idx)
+            correct += int(float(m["accuracy"]) * len(idx) + 0.5)
+        return losses / n_val, correct / n_val
+
+    collection_epochs = list(range(collection_frequency, epochs + 1, collection_frequency))
+    if epochs not in collection_epochs:
+        collection_epochs.append(epochs)
+
+    training_config = {
+        "model_id": model_id,
+        "epochs": epochs,
+        "batch_size": batch_size,
+        "learning_rate": learning_rate,
+        "run_name": run.name,
+    }
+    weights = None
+    if use_sample_weights:
+        # inverse class frequency
+        counts = np.bincount(data.train_labels, minlength=constants.NUM_CLASSES)
+        weights = (1.0 / np.maximum(counts, 1))[data.train_labels]
+
+    best_val_acc = float("-inf")
+    patience_counter = 0
+    start_time = time.time()
+    final_epoch = 0
+
+    for epoch in range(1, epochs + 1):
+        final_epoch = epoch
+        epoch_loss, correct_sum, seen = 0.0, 0.0, 0
+        for idx in data_lib.batches(n_train, batch_size, rng=rng_np, weights=weights, drop_last=True):
+            imgs = jnp.asarray(data.train_images[idx], jnp.float32)[..., None] / 255.0
+            if augment:
+                key, sub = jax.random.split(key)
+                imgs = augment_classification_batch(sub, imgs)
+            labs = jnp.asarray(data.train_labels[idx])
+            state, metrics = train_step(state, imgs, labs)
+            epoch_loss += float(metrics["loss"]) * len(idx)
+            correct_sum += float(metrics["accuracy"]) * len(idx)
+            seen += len(idx)
+
+        val_loss, val_acc = run_validation(state)
+        run.log(
+            {
+                "epoch": epoch,
+                "train_loss": epoch_loss / max(seen, 1),
+                "train_accuracy": correct_sum / max(seen, 1),
+                "val_loss": val_loss,
+                "val_accuracy": val_acc,
+            }
+        )
+        logger.info(
+            "epoch %d train_acc %.4f val_acc %.4f val_loss %.4f",
+            epoch,
+            correct_sum / max(seen, 1),
+            val_acc,
+            val_loss,
+        )
+
+        if val_acc > best_val_acc:
+            best_val_acc = val_acc
+            patience_counter = 0
+            save_checkpoint(
+                checkpoint_path,
+                {
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                },
+                {"best_val_score": best_val_acc, "epoch": epoch, "training_config": training_config},
+            )
+            logger.info("Checkpoint %d saved (val acc %.4f)", epoch, best_val_acc)
+        else:
+            patience_counter += 1
+
+        if epoch in collection_epochs:
+            for split, imgs_a, labs_a, ids in (
+                ("train", data.train_images, data.train_labels, data.train_ids),
+                ("val", data.val_images, data.val_labels, data.val_ids),
+            ):
+                rows: dict[str, list] = {}
+                for idx in data_lib.batches(len(labs_a), 512):
+                    m = collect_step(
+                        state,
+                        jnp.asarray(imgs_a[idx], jnp.float32)[..., None] / 255.0,
+                        jnp.asarray(labs_a[idx]),
+                    )
+                    for k, v in collectors.to_numpy(m).items():
+                        rows.setdefault(k, []).append(v)
+                cols = {k: np.concatenate(v) for k, v in rows.items()}
+                cols["example_id"] = np.asarray(ids, object)
+                name = f"{split}_epoch{epoch}"
+                run.write_metrics_table(name, cols)
+                run.reduce_embeddings(name, "embedding")
+
+        if patience_counter >= patience and epoch != epochs:
+            logger.info("Early stopping after %d epochs", epoch)
+            break
+
+    training_time = time.time() - start_time
+    run.set_parameters(
+        {
+            "best_val_score": best_val_acc,
+            "model_path": checkpoint_path,
+            "final_epoch": final_epoch,
+            "training_time": training_time,
+        }
+    )
+    run.set_status_completed()
+    logger.info("Training done in %.0fs, best val acc %.4f", training_time, best_val_acc)
+    return run, checkpoint_path
+
+
+def get_args() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train the piece classifier")
+    parser.add_argument("--model-id", type=str, default="resnet18", help="resnet18 or yolo")
+    parser.add_argument("--run-name", type=str, default=None)
+    parser.add_argument("--run-description", type=str, default=None)
+    parser.add_argument("--skip-eval", action="store_true")
+    parser.add_argument("--use-sample-weights", action="store_true")
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--learning-rate", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--collection-frequency", type=int, default=5)
+    parser.add_argument("--patience", type=int, default=5)
+    parser.add_argument("--no-augment", action="store_true", default=False)
+    parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--promote", action="store_true")
+    return parser.parse_args()
+
+
+def main() -> None:
+    args = get_args()
+    setup_logger("chessvision_tpu")
+    run, checkpoint_path = train_model(
+        model_id=args.model_id,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        run_name=args.run_name,
+        run_description=args.run_description,
+        use_sample_weights=args.use_sample_weights,
+        collection_frequency=args.collection_frequency,
+        patience=args.patience,
+        seed=args.seed,
+        augment=not args.no_augment,
+        width=args.width,
+    )
+    import shutil
+    from pathlib import Path
+
+    default = (
+        constants.BEST_YOLO_CLASSIFIER if args.model_id == "yolo" else constants.BEST_CLASSIFIER_WEIGHTS
+    )
+    if args.promote or not Path(default).exists():
+        Path(default).parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(checkpoint_path, default)
+        logger.info("Promoted checkpoint to %s", default)
+
+    if not args.skip_eval:
+        from chessvision_tpu.eval.evaluate import evaluate_model
+
+        evaluate_model(run=run, classifier_weights=checkpoint_path, classifier_model_id=args.model_id)
+
+
+if __name__ == "__main__":
+    main()

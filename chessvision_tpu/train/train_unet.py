@@ -1,0 +1,328 @@
+"""Segmentation (board extraction) trainer.
+
+The optax/TPU re-implementation of the reference's scripts/train/
+train_unet.py: RMSprop(momentum 0.999, wd 1e-8) + BCE+dice, gradient clip
+1.0, two mid-epoch validations with ReduceLROnPlateau(max, patience 3) on
+val dice, best-dice checkpointing with metadata, early stopping, optional
+augmentation and sample-weight sampling, per-sample metrics + embeddings
+collection on collection epochs, and a post-train auto-eval — all against
+the local runstore instead of 3LC.  Differences are TPU-idiomatic: batched
+device augmentation, bf16 compute without a GradScaler, DP sharding via
+mesh when more than one device is present.
+
+Run: python -m chessvision_tpu.train.train_unet --epochs 20 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from typing import Any
+
+import numpy as np
+
+from chessvision_tpu import constants
+from chessvision_tpu.utils import enable_compilation_cache, setup_logger
+
+logger = logging.getLogger(__name__)
+
+BOARD_EXTRACTION_PROJECT = "chessvision-segmentation"  # reference config.py:8
+
+
+def train_model(
+    *,
+    epochs: int = 20,
+    batch_size: int = 32,
+    learning_rate: float = 3e-5,
+    weight_decay: float = 1e-8,
+    momentum: float = 0.999,
+    gradient_clipping: float = 1.0,
+    validations_per_epoch: int = 2,
+    run_name: str | None = None,
+    run_description: str | None = None,
+    use_sample_weights: bool = False,
+    collection_frequency: int = 5,
+    patience: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    augment: bool = True,
+    bilinear: bool = False,
+    base: int = 64,
+    model_dtype: Any = None,
+    use_mesh: bool = True,
+) -> tuple[Any, str]:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from chessvision_tpu import models, runstore
+    from chessvision_tpu.checkpoint import save_checkpoint
+    from chessvision_tpu.parallel import create_mesh, replicate
+    from chessvision_tpu.runstore import metrics as collectors
+    from chessvision_tpu.train import data as data_lib
+    from chessvision_tpu.train.augment import augment_segmentation_batch
+    from chessvision_tpu.train.steps import TrainState, make_seg_eval_step, make_seg_train_step
+
+    enable_compilation_cache()
+    if model_dtype is None:
+        model_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    run = runstore.init(
+        BOARD_EXTRACTION_PROJECT,
+        run_name,
+        parameters={
+            "epochs": epochs,
+            "batch_size": batch_size,
+            "learning_rate": learning_rate,
+            "use_sample_weights": use_sample_weights,
+            "augment": augment,
+            "threshold": threshold,
+            "seed": seed,
+            "bilinear": bilinear,
+        },
+        description=run_description,
+    )
+    checkpoint_path = str(run.bulk_data_url / "checkpoint.npz")
+
+    data = data_lib.load_board_extraction()
+    n_train, n_val = len(data.train_images), len(data.val_images)
+    logger.info("Training on %d / validating on %d images", n_train, n_val)
+
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = create_mesh()
+        batch_size = max(batch_size, mesh.size)
+        batch_size -= batch_size % mesh.size
+
+    model = models.UNet(bilinear=bilinear, base=base, dtype=model_dtype)
+    rng_np = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    variables = model.init(key, jnp.zeros((1, 256, 256, 3), jnp.float32))
+
+    # ReduceLROnPlateau via injected hyperparams (torch: factor 0.1,
+    # patience 3, mode max — train_unet.py:243)
+    def make_tx(lr: float) -> optax.GradientTransformation:
+        return optax.chain(
+            optax.clip_by_global_norm(gradient_clipping),
+            optax.add_decayed_weights(weight_decay),
+            optax.inject_hyperparams(optax.rmsprop)(learning_rate=lr, momentum=momentum, eps=1e-8),
+        )
+
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=make_tx(learning_rate),
+    )
+    if mesh is not None:
+        state = jax.device_put(state, replicate(mesh))
+
+    train_step = make_seg_train_step(mesh)
+    eval_step = make_seg_eval_step()
+
+    @jax.jit
+    def collect_step(state: TrainState, images: jnp.ndarray, masks: jnp.ndarray):
+        (out, features) = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            return_features=True,
+        )
+        logits = out[..., 0]
+        m: dict[str, jnp.ndarray] = {}
+        m.update(collectors.segmentation_loss_per_sample(logits, masks))
+        m.update(collectors.segmentation_quality(logits, masks, threshold))
+        m["embedding"] = features
+        return m
+
+    def set_lr(state: TrainState, lr: float) -> TrainState:
+        opt_state = list(state.opt_state)
+        inner = opt_state[-1]
+        inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state.replace(opt_state=tuple(opt_state))
+
+    def run_validation(state: TrainState) -> float:
+        scores = []
+        for idx in data_lib.batches(n_val, batch_size, drop_last=False):
+            imgs = jnp.asarray(data.val_images[idx], jnp.float32) / 255.0
+            msks = jnp.asarray(data.val_masks[idx])
+            scores.append(float(eval_step(state, imgs, msks)) * len(idx))
+        return float(np.sum(scores) / n_val)
+
+    collection_epochs = list(range(collection_frequency, epochs + 1, collection_frequency))
+    if epochs not in collection_epochs:
+        collection_epochs.append(epochs)
+
+    training_config = {
+        "epochs": epochs,
+        "batch_size": batch_size,
+        "learning_rate": learning_rate,
+        "threshold": threshold,
+        "run_name": run.name,
+        "model_id": "unet",
+        "bilinear": bilinear,
+        "base": base,
+    }
+    save_checkpoint(
+        checkpoint_path,
+        {"params": jax.tree.map(np.asarray, state.params), "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
+        {"best_val_score": float("-inf"), "training_config": training_config, "epoch": 0},
+    )
+
+    weights = data.train_masks.mean(axis=(1, 2)) + 0.05 if use_sample_weights else None
+
+    steps_per_epoch = max(1, n_train // batch_size)
+    validation_interval = max(1, steps_per_epoch // validations_per_epoch)
+    best_val_score = float("-inf")
+    patience_counter = 0
+    plateau_counter = 0
+    plateau_best = float("-inf")
+    current_lr = learning_rate
+    global_step = 0
+    val_score = float("-inf")
+    start_time = time.time()
+    final_epoch = 0
+
+    for epoch in range(1, epochs + 1):
+        final_epoch = epoch
+        epoch_loss = 0.0
+        for i, idx in enumerate(
+            data_lib.batches(n_train, batch_size, rng=rng_np, weights=weights, drop_last=True)
+        ):
+            imgs = jnp.asarray(data.train_images[idx], jnp.float32) / 255.0
+            msks = jnp.asarray(data.train_masks[idx])
+            if augment:
+                key, sub = jax.random.split(key)
+                imgs, msks = augment_segmentation_batch(sub, imgs, msks)
+            state, metrics = train_step(state, imgs, msks)
+            global_step += 1
+            epoch_loss += float(metrics["loss"])
+
+            if i > 0 and i % validation_interval == 0:
+                val_score = run_validation(state)
+                # plateau LR schedule (mode max, patience 3, factor 0.1)
+                if val_score > plateau_best + 1e-6:
+                    plateau_best = val_score
+                    plateau_counter = 0
+                else:
+                    plateau_counter += 1
+                    if plateau_counter > 3:
+                        current_lr *= 0.1
+                        state = set_lr(state, current_lr)
+                        plateau_counter = 0
+                        logger.info("Plateau: lr -> %g", current_lr)
+                run.log({"val_dice": val_score, "step": global_step, "lr": current_lr})
+                logger.info("epoch %d step %d val_dice %.4f", epoch, global_step, val_score)
+
+        if val_score > best_val_score:
+            best_val_score = val_score
+            patience_counter = 0
+            save_checkpoint(
+                checkpoint_path,
+                {
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                },
+                {"best_val_score": best_val_score, "epoch": epoch, "training_config": training_config},
+            )
+            logger.info("Checkpoint %d saved (dice %.4f)", epoch, best_val_score)
+        else:
+            patience_counter += 1
+
+        run.log({"train_loss": epoch_loss / steps_per_epoch, "epoch": epoch})
+
+        if epoch in collection_epochs:
+            for split, imgs_a, msks_a, ids in (
+                ("train", data.train_images, data.train_masks, data.train_ids),
+                ("val", data.val_images, data.val_masks, data.val_ids),
+            ):
+                rows: dict[str, list] = {}
+                for idx in data_lib.batches(len(imgs_a), 8):
+                    m = collect_step(
+                        state,
+                        jnp.asarray(imgs_a[idx], jnp.float32) / 255.0,
+                        jnp.asarray(msks_a[idx]),
+                    )
+                    for k, v in collectors.to_numpy(m).items():
+                        rows.setdefault(k, []).append(v)
+                cols = {k: np.concatenate(v) for k, v in rows.items()}
+                cols["example_id"] = np.asarray(ids, object)
+                name = f"{split}_epoch{epoch}"
+                run.write_metrics_table(name, cols)
+                run.reduce_embeddings(name, "embedding")
+            if patience_counter >= patience and epoch != epochs:
+                logger.info("Early stopping after %d epochs", epoch)
+                break
+
+    training_time = time.time() - start_time
+    run.set_parameters(
+        {
+            "best_val_score": best_val_score,
+            "model_path": checkpoint_path,
+            "final_epoch": final_epoch,
+            "training_time": training_time,
+        }
+    )
+    run.set_status_completed()
+    logger.info("Training done in %.0fs, best dice %.4f", training_time, best_val_score)
+    return run, checkpoint_path
+
+
+def get_args() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train the UNet board extractor")
+    parser.add_argument("--run-name", type=str, default=None)
+    parser.add_argument("--run-description", type=str, default=None)
+    parser.add_argument("--skip-eval", action="store_true")
+    parser.add_argument("--use-sample-weights", action="store_true")
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--learning-rate", type=float, default=3e-5)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--collection-frequency", type=int, default=5)
+    parser.add_argument("--patience", type=int, default=5)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--bilinear", action="store_true", default=False)
+    parser.add_argument("--base", type=int, default=64)
+    parser.add_argument("--no-augment", action="store_true", default=False)
+    parser.add_argument("--promote", action="store_true", help="copy best checkpoint to weights/")
+    return parser.parse_args()
+
+
+def main() -> None:
+    args = get_args()
+    setup_logger("chessvision_tpu")
+    run, checkpoint_path = train_model(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        run_name=args.run_name,
+        run_description=args.run_description,
+        use_sample_weights=args.use_sample_weights,
+        collection_frequency=args.collection_frequency,
+        patience=args.patience,
+        threshold=args.threshold,
+        seed=args.seed,
+        augment=not args.no_augment,
+        bilinear=args.bilinear,
+        base=args.base,
+    )
+    import shutil
+    from pathlib import Path
+
+    if args.promote or not Path(constants.BEST_EXTRACTOR_WEIGHTS).exists():
+        Path(constants.BEST_EXTRACTOR_WEIGHTS).parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(checkpoint_path, constants.BEST_EXTRACTOR_WEIGHTS)
+        logger.info("Promoted checkpoint to %s", constants.BEST_EXTRACTOR_WEIGHTS)
+
+    if not args.skip_eval:
+        from chessvision_tpu.eval.evaluate import evaluate_model
+
+        evaluate_model(
+            run=run,
+            threshold=args.threshold,
+            board_extractor_weights=checkpoint_path,
+        )
+
+
+if __name__ == "__main__":
+    main()
