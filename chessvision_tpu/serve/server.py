@@ -1,0 +1,257 @@
+"""Compute-node inference server.
+
+Re-implementation of the reference's Flask endpoint (app/computeroot/
+cv_endpoint.py) on the stdlib HTTP server (Flask is not a dependency of
+this framework): same three routes with the same request/response
+contracts —
+
+  POST /cv_algo/        base64-JSON image → {fen, position,
+                        confidence_scores, processing_time} + CORS
+                        (cv_endpoint.py:136-192).  The reference's
+                        ``confidence_scores`` crash (field referenced but
+                        never defined, cv_endpoint.py:169) is fixed: real
+                        per-square max probabilities are returned.
+  POST /classify_image  multipart variant (cv_endpoint.py:195-251)
+  POST /feedback/       persists user corrections as JSON
+                        (cv_endpoint.py:254-295)
+  GET  /ping            liveness probe
+
+Uploads are persisted under user_uploads/{raw,boards} when not in LOCAL
+mode (cv_endpoint.py:174-187).  The model is eager-loaded at startup like
+the reference (cv_endpoint.py:131-133).
+
+Run: python -m chessvision_tpu.serve.server --port 7777 [--local]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import datetime
+import json
+import logging
+import os
+import re
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from chessvision_tpu.chessboard import expand_fen
+
+logger = logging.getLogger(__name__)
+
+
+def fen_2_json(fen: str) -> dict[str, str]:
+    """Per-square piece map for the web client (cv_endpoint.py:121-127)."""
+    expanded = expand_fen(fen)
+    out: dict[str, str] = {}
+    i = 0
+    for rank in range(8, 0, -1):
+        for file in "abcdefgh":
+            piece = expanded[i]
+            i += 1
+            if piece != ".":
+                out[f"{file}{rank}"] = piece
+    return out
+
+
+class ChessVisionService:
+    """Holds the model + persistence dirs; handler delegates here."""
+
+    def __init__(self, local: bool = True, upload_root: str | None = None, cv_model: Any = None) -> None:
+        self.local = local
+        self.lock = threading.Lock()
+        if cv_model is None:
+            from chessvision_tpu.core import ChessVision
+
+            logger.info("Eager-loading ChessVision models...")
+            cv_model = ChessVision(lazy_load=False)
+        self.cv = cv_model
+        self.upload_root = Path(upload_root or "user_uploads")
+        for sub in ("raw", "boards", "feedback"):
+            (self.upload_root / sub).mkdir(parents=True, exist_ok=True)
+
+    # -- request handlers ------------------------------------------------------
+
+    def cv_algo(self, payload: dict[str, Any]) -> tuple[int, dict[str, Any]]:
+        if "image" not in payload:
+            return 400, {"success": False, "error": "Missing image data"}
+        try:
+            raw = payload["image"]
+            if isinstance(raw, str) and raw.startswith("data:"):
+                raw = raw.split(",", 1)[1]
+            buf = base64.b64decode(raw)
+            img = self._decode_image(buf)
+        except Exception as e:  # noqa: BLE001
+            return 400, {"success": False, "error": f"Invalid image data: {e}"}
+        return self._process(img, payload.get("flip", False), payload.get("tokens"))
+
+    def classify_image(self, image_bytes: bytes, flip: bool = False) -> tuple[int, dict[str, Any]]:
+        try:
+            img = self._decode_image(image_bytes)
+        except Exception as e:  # noqa: BLE001
+            return 400, {"success": False, "error": f"Invalid image data: {e}"}
+        return self._process(img, flip, None)
+
+    def _decode_image(self, buf: bytes) -> np.ndarray:
+        import cv2
+
+        arr = np.frombuffer(buf, np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("could not decode image")
+        return img
+
+    def _process(self, img: np.ndarray, flip: bool, tokens: Any) -> tuple[int, dict[str, Any]]:
+        with self.lock:
+            result = self.cv.process_image(img, flip=bool(flip))
+        if result.position is None:
+            return 400, {"success": False, "error": "No chessboard detected"}
+
+        raw_id = str(uuid.uuid4())
+        if not self.local:
+            self._persist(raw_id, img, result)
+
+        position = result.position
+        return 200, {
+            "success": True,
+            "id": raw_id,
+            "FEN": position.fen,
+            "fen": position.fen,
+            "position": fen_2_json(position.fen),
+            "confidence_scores": [float(c) for c in position.confidence_scores],
+            "processing_time": result.processing_time,
+        }
+
+    def _persist(self, raw_id: str, img: np.ndarray, result: Any) -> None:
+        try:
+            import cv2
+
+            cv2.imwrite(str(self.upload_root / "raw" / f"{raw_id}.JPG"), img)
+            if result.board_extraction.board_image is not None:
+                cv2.imwrite(
+                    str(self.upload_root / "boards" / f"{raw_id}.JPG"),
+                    result.board_extraction.board_image,
+                )
+        except Exception:  # noqa: BLE001
+            logger.exception("Failed to persist upload %s", raw_id)
+
+    def feedback(self, payload: dict[str, Any]) -> tuple[int, dict[str, Any]]:
+        if not payload.get("id") or "position" not in payload:
+            return 400, {"success": False, "error": "Missing id or position"}
+        entry = {
+            "id": payload["id"],
+            "position": payload["position"],
+            "flip": payload.get("flip", False),
+            "timestamp": datetime.datetime.now().isoformat(),
+        }
+        path = self.upload_root / "feedback" / f"{payload['id']}.json"
+        path.write_text(json.dumps(entry, indent=2))
+        return 200, {"success": True}
+
+
+def make_handler(service: ChessVisionService) -> type[BaseHTTPRequestHandler]:
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, status: int, body: dict[str, Any]) -> None:
+            data = json.dumps(body).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            # CORS, like the reference's crossdomain decorator
+            # (cv_endpoint.py:70-115)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "Content-Type")
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_OPTIONS(self) -> None:  # noqa: N802
+            self._send(200, {})
+
+        def do_GET(self) -> None:  # noqa: N802
+            if self.path.rstrip("/") == "/ping":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self) -> None:  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length) if length else b""
+            path = self.path.rstrip("/")
+            try:
+                if path == "/cv_algo":
+                    ctype = self.headers.get("Content-Type", "")
+                    if "application/json" in ctype:
+                        payload = json.loads(body or b"{}")
+                    else:
+                        payload = {"image": body.decode("ascii", "ignore")}
+                    status, resp = service.cv_algo(payload)
+                elif path == "/classify_image":
+                    ctype = self.headers.get("Content-Type", "")
+                    image_bytes, flip = _parse_multipart(body, ctype)
+                    if image_bytes is None:
+                        status, resp = 400, {"success": False, "error": "No file part"}
+                    else:
+                        status, resp = service.classify_image(image_bytes, flip)
+                elif path == "/feedback":
+                    status, resp = service.feedback(json.loads(body or b"{}"))
+                else:
+                    status, resp = 404, {"error": "not found"}
+            except Exception as e:  # noqa: BLE001
+                logger.exception("Request failed")
+                status, resp = 500, {"success": False, "error": str(e)}
+            self._send(status, resp)
+
+        def log_message(self, fmt: str, *args: Any) -> None:
+            logger.info("%s - %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def _parse_multipart(body: bytes, content_type: str) -> tuple[bytes | None, bool]:
+    """Minimal multipart/form-data parser for the /classify_image route."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        return None, False
+    boundary = b"--" + m.group(1).encode()
+    image_bytes = None
+    flip = False
+    for part in body.split(boundary):
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, content = part.partition(b"\r\n\r\n")
+        content = content.rstrip(b"\r\n-")
+        head_l = head.decode("latin-1", "ignore").lower()
+        if 'name="file"' in head_l or "filename=" in head_l:
+            image_bytes = content
+        elif 'name="flip"' in head_l:
+            flip = content.strip().lower() in (b"true", b"1", b"yes")
+    return image_bytes, flip
+
+
+def serve(port: int = 7777, local: bool = True, cv_model: Any = None, upload_root: str | None = None) -> ThreadingHTTPServer:
+    service = ChessVisionService(local=local, cv_model=cv_model, upload_root=upload_root)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    logger.info("chessvision-tpu compute endpoint on :%d (local=%s)", port, local)
+    return server
+
+
+def main() -> None:
+    from chessvision_tpu.utils import setup_logger
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=int(os.getenv("PORT", "7777")))
+    parser.add_argument("--local", action="store_true", default=bool(os.getenv("LOCAL")))
+    parser.add_argument("--upload-root", type=str, default=None)
+    args = parser.parse_args()
+    setup_logger("chessvision_tpu")
+    server = serve(port=args.port, local=args.local, upload_root=args.upload_root)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -3,81 +3,95 @@
 Replaces the reference's torchvision per-sample host transforms — seg:
 hflip / rotate ±15° / ColorJitter(0.1×4) / GaussianBlur(3), each at p=0.5
 (train_unet.py:68-91); cls: RandomAffine(translate 0.1, scale 0.95–1.05) +
-RandomRotation(15°) (train_classifier.py:34-43) — with vmapped
-``jax.random`` transforms that run on device fused into the train step.
-Hue jitter uses the YIQ rotation approximation instead of an HSV
-round-trip (training-time noise; parity is statistical, not bitwise).
+RandomRotation(15°) (train_classifier.py:34-43) — with batched device
+transforms that run fused with the train step.
+
+TPU notes: all geometric transforms are expressed as per-sample 3×3
+homographies executed by the gather-free two-pass warp kernel
+(ops/warp.py) in ONE batched call — per-pixel fancy indexing under vmap
+compiles to pathological TPU gathers.  Unselected samples get the
+identity matrix (a no-op warp) instead of a lax.select of two full
+images.  Hue jitter uses the YIQ rotation approximation instead of an
+HSV round-trip; rotation interpolates bilinearly where torchvision
+defaults to nearest (training-time noise; parity is statistical).
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
+from chessvision_tpu.ops.warp import _warp_batched_twopass
 
-def _rotate_bilinear(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
-    """Rotate (H, W, C) around the center, zero fill, bilinear sampling."""
-    h, w = img.shape[0], img.shape[1]
-    theta = angle_deg * jnp.pi / 180.0
+
+def _rotation_matrices(angles_deg: jnp.ndarray, h: float, w: float) -> jnp.ndarray:
+    """(B,) angles → (B, 3, 3) forward homographies rotating about center."""
+    theta = angles_deg * jnp.pi / 180.0
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
-    sx = cos * xs + sin * ys + cx
-    sy = -sin * xs + cos * ys + cy
-    return _bilinear_sample(img, sx, sy)
+    zeros = jnp.zeros_like(cos)
+    ones = jnp.ones_like(cos)
+    # T(c) R T(-c)
+    m = jnp.stack(
+        [
+            jnp.stack([cos, -sin, cx - cos * cx + sin * cy], -1),
+            jnp.stack([sin, cos, cy - sin * cx - cos * cy], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=-2,
+    )
+    return m
 
 
-def _affine(img: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray, scale: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
-    """Inverse-mapped affine: translate (pixels), uniform scale, rotate."""
-    h, w = img.shape[0], img.shape[1]
-    theta = angle_deg * jnp.pi / 180.0
-    cos, sin = jnp.cos(theta) / scale, jnp.sin(theta) / scale
+def _affine_matrices(
+    tx: jnp.ndarray, ty: jnp.ndarray, scale: jnp.ndarray, h: float, w: float
+) -> jnp.ndarray:
+    """Translate + uniform scale about center → (B, 3, 3)."""
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy - ty
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx - tx
-    sx = cos * xs + sin * ys + cx
-    sy = -sin * xs + cos * ys + cy
-    return _bilinear_sample(img, sx, sy)
+    zeros = jnp.zeros_like(scale)
+    ones = jnp.ones_like(scale)
+    m = jnp.stack(
+        [
+            jnp.stack([scale, zeros, cx + tx - scale * cx], -1),
+            jnp.stack([zeros, scale, cy + ty - scale * cy], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=-2,
+    )
+    return m
 
 
-def _bilinear_sample(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray:
-    h, w = img.shape[0], img.shape[1]
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx, fy = sx - x0, sy - y0
-    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
-
-    def sample(yi, xi):
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
-        if img.ndim == 3:
-            valid = valid[..., None]
-        return jnp.where(valid, v, 0.0)
-
-    w00, w01 = (1 - fx) * (1 - fy), fx * (1 - fy)
-    w10, w11 = (1 - fx) * fy, fx * fy
-    if img.ndim == 3:
-        w00, w01, w10, w11 = (t[..., None] for t in (w00, w01, w10, w11))
-    return sample(y0i, x0i) * w00 + sample(y0i, x0i + 1) * w01 + sample(y0i + 1, x0i) * w10 + sample(y0i + 1, x0i + 1) * w11
+def _warp_nhwc(images: jnp.ndarray, ms: jnp.ndarray) -> jnp.ndarray:
+    """Batched homography warp of (B, H, W[, C]) by forward matrices."""
+    if images.ndim == 4:
+        b, h, w, c = images.shape
+        flat = images.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+        ms_flat = jnp.repeat(ms, c, axis=0)
+        out = _warp_batched_twopass(flat, ms_flat, h, w)
+        return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    b, h, w = images.shape
+    return _warp_batched_twopass(images, ms, h, w)
 
 
-def _color_jitter(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
-    """brightness/contrast/saturation/hue, each ±0.1 (BGR in [0,1])."""
+def _color_jitter_batch(key: jax.Array, img: jnp.ndarray, apply: jnp.ndarray) -> jnp.ndarray:
+    """brightness/contrast/saturation/hue, each ±0.1, per sample (BGR, [0,1])."""
+    b = img.shape[0]
     kb, kc, ks, kh = jax.random.split(key, 4)
-    b = jax.random.uniform(kb, (), minval=0.9, maxval=1.1)
-    c = jax.random.uniform(kc, (), minval=0.9, maxval=1.1)
-    s = jax.random.uniform(ks, (), minval=0.9, maxval=1.1)
-    hshift = jax.random.uniform(kh, (), minval=-0.1, maxval=0.1) * 2 * jnp.pi
 
-    img = img * b
-    mean = img.mean(keepdims=True)
-    img = (img - mean) * c + mean
+    def per(k, lo, hi):
+        v = jax.random.uniform(k, (b,), minval=lo, maxval=hi)
+        return jnp.where(apply, v, (lo + hi) / 2.0)[:, None, None, None]
+
+    bright = per(kb, 0.9, 1.1)
+    contrast = per(kc, 0.9, 1.1)
+    sat = per(ks, 0.9, 1.1)
+    hshift = (per(kh, -0.1, 0.1) * 2 * jnp.pi)[..., 0]
+
+    img = img * bright
+    mean = img.mean(axis=(1, 2, 3), keepdims=True)
+    img = (img - mean) * contrast + mean
     gray = img[..., 2:3] * 0.299 + img[..., 1:2] * 0.587 + img[..., 0:1] * 0.114
-    img = (img - gray) * s + gray
-    # hue rotation in YIQ space (channels are BGR)
+    img = (img - gray) * sat + gray
     r, g, bch = img[..., 2], img[..., 1], img[..., 0]
     y = 0.299 * r + 0.587 * g + 0.114 * bch
     i = 0.596 * r - 0.274 * g - 0.322 * bch
@@ -92,63 +106,60 @@ def _color_jitter(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(img, 0.0, 1.0)
 
 
-def _gaussian_blur3(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
-    """3×3 Gaussian blur with sigma ~ U(0.1, 2.0) (torchvision default)."""
-    sigma = jax.random.uniform(key, (), minval=0.1, maxval=2.0)
+def _gaussian_blur3_batch(key: jax.Array, img: jnp.ndarray, apply: jnp.ndarray) -> jnp.ndarray:
+    """3×3 Gaussian blur, sigma ~ U(0.1, 2.0) per sample; identity kernel
+    where not applied."""
+    b = img.shape[0]
+    sigma = jax.random.uniform(key, (b,), minval=0.1, maxval=2.0)
     xs = jnp.array([-1.0, 0.0, 1.0])
-    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
-    k = k / k.sum()
-    # separable 1-D convolutions along H then W
-    pad_h = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode="edge")
-    img = k[0] * pad_h[:-2] + k[1] * pad_h[1:-1] + k[2] * pad_h[2:]
-    pad_w = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
-    img = k[0] * pad_w[:, :-2] + k[1] * pad_w[:, 1:-1] + k[2] * pad_w[:, 2:]
+    k = jnp.exp(-0.5 * (xs[None, :] / sigma[:, None]) ** 2)
+    k = k / k.sum(axis=1, keepdims=True)
+    ident = jnp.array([0.0, 1.0, 0.0])
+    k = jnp.where(apply[:, None], k, ident)  # (B, 3)
+    k0, k1, k2 = (k[:, i][:, None, None, None] for i in range(3))
+    pad_h = jnp.pad(img, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    img = k0 * pad_h[:, :-2] + k1 * pad_h[:, 1:-1] + k2 * pad_h[:, 2:]
+    pad_w = jnp.pad(img, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    img = k0 * pad_w[:, :, :-2] + k1 * pad_w[:, :, 1:-1] + k2 * pad_w[:, :, 2:]
     return img
 
 
-def _augment_seg_one(key: jax.Array, img: jnp.ndarray, mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One (256,256,3)+(256,256) sample in [0,1]."""
-    k1, k2, k3, k4, kf, kr, kj, kb = jax.random.split(key, 8)
-
-    do_flip = jax.random.uniform(k1) > 0.5
-    img = jnp.where(do_flip, img[:, ::-1], img)
-    mask = jnp.where(do_flip, mask[:, ::-1], mask)
-
-    do_rot = jax.random.uniform(k2) > 0.5
-    angle = jax.random.randint(kr, (), -15, 15).astype(jnp.float32)
-    img_r = _rotate_bilinear(img, angle)
-    mask_r = _rotate_bilinear(mask[..., None], angle)[..., 0]
-    img = jnp.where(do_rot, img_r, img)
-    mask = jnp.where(do_rot, mask_r, mask)
-
-    do_jit = jax.random.uniform(k3) > 0.5
-    img = jnp.where(do_jit, _color_jitter(kj, img), img)
-
-    do_blur = jax.random.uniform(k4) > 0.5
-    img = jnp.where(do_blur, _gaussian_blur3(kb, img), img)
-    return img, mask
-
-
-@partial(jax.jit, donate_argnums=())
+@jax.jit
 def augment_segmentation_batch(key: jax.Array, images: jnp.ndarray, masks: jnp.ndarray):
     """(B,256,256,3) f32 in [0,1], (B,256,256) f32 → augmented pair."""
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(_augment_seg_one)(keys, images, masks)
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    k1, k2, k3, k4, kr, kj, kb = jax.random.split(key, 7)
 
+    do_flip = jax.random.uniform(k1, (b,)) > 0.5
+    flipped = images[:, :, ::-1]
+    images = jnp.where(do_flip[:, None, None, None], flipped, images)
+    masks = jnp.where(do_flip[:, None, None], masks[:, :, ::-1], masks)
 
-def _augment_cls_one(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
-    """One (64,64,1) sample: RandomAffine(translate ±10%, scale 0.95–1.05)
-    then RandomRotation(±15°)."""
-    kt, ks, kr = jax.random.split(key, 3)
-    txy = jax.random.uniform(kt, (2,), minval=-0.1, maxval=0.1) * 64.0
-    scale = jax.random.uniform(ks, (), minval=0.95, maxval=1.05)
-    img = _affine(img, txy[0], txy[1], scale, jnp.float32(0.0))
-    angle = jax.random.uniform(kr, (), minval=-15.0, maxval=15.0)
-    return _rotate_bilinear(img, angle)
+    do_rot = jax.random.uniform(k2, (b,)) > 0.5
+    angles = jax.random.randint(kr, (b,), -15, 15).astype(jnp.float32)
+    angles = jnp.where(do_rot, angles, 0.0)
+    ms = _rotation_matrices(angles, h, w)
+    images = _warp_nhwc(images, ms)
+    masks = _warp_nhwc(masks, ms)
+
+    do_jit = jax.random.uniform(k3, (b,)) > 0.5
+    images = _color_jitter_batch(kj, images, do_jit)
+
+    do_blur = jax.random.uniform(k4, (b,)) > 0.5
+    images = _gaussian_blur3_batch(kb, images, do_blur)
+    return images, masks
 
 
 @jax.jit
 def augment_classification_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
-    """(B,64,64,1) f32 in [0,1] → augmented."""
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(_augment_cls_one)(keys, images)
+    """(B,64,64,1) f32 in [0,1]: RandomAffine(translate ±10%, scale
+    0.95–1.05) then RandomRotation(±15°), as one composed batched warp."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    kt, ks, kr = jax.random.split(key, 3)
+    txy = jax.random.uniform(kt, (b, 2), minval=-0.1, maxval=0.1) * w
+    scale = jax.random.uniform(ks, (b,), minval=0.95, maxval=1.05)
+    angles = jax.random.uniform(kr, (b,), minval=-15.0, maxval=15.0)
+    m_aff = _affine_matrices(txy[:, 0], txy[:, 1], scale, h, w)
+    m_rot = _rotation_matrices(angles, h, w)
+    ms = jnp.einsum("bij,bjk->bik", m_rot, m_aff)
+    return _warp_nhwc(images, ms)

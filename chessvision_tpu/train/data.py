@@ -37,6 +37,15 @@ def _imread(path: Path, gray: bool = False) -> np.ndarray | None:
     return cv2.imread(str(path), flags)
 
 
+_IMAGE_SUFFIXES = {".jpg", ".jpeg", ".png"}
+
+
+def _image_files(directory: Path) -> list[Path]:
+    """Sorted image files, case-insensitive extensions (the fixture dirs
+    mix .JPG and .jpg)."""
+    return sorted(p for p in directory.iterdir() if p.suffix.lower() in _IMAGE_SUFFIXES)
+
+
 @dataclass
 class SegmentationData:
     train_images: np.ndarray  # (N, 256, 256, 3) uint8 BGR
@@ -55,7 +64,7 @@ def load_board_extraction(
     root = Path(data_root or constants.DATA_ROOT) / "board_extraction"
     image_dir, mask_dir = root / "images", root / "masks"
     ids, images, masks = [], [], []
-    for img_path in sorted(image_dir.glob("*.JPG")):
+    for img_path in _image_files(image_dir):
         mask_path = mask_dir / (img_path.stem + ".png")
         img = _imread(img_path)
         mask = _imread(mask_path, gray=True)
@@ -106,7 +115,7 @@ def load_squares(data_root: str | Path | None = None) -> ClassificationData:
         class_dirs = sorted(d for d in split_dir.iterdir() if d.is_dir())
         images, labels, ids = [], [], []
         for ci, cd in enumerate(class_dirs):
-            for p in sorted(cd.glob("*.JPG")):
+            for p in _image_files(cd):
                 img = _imread(p, gray=True)
                 if img is None:
                     continue
@@ -131,6 +140,19 @@ def load_squares(data_root: str | Path | None = None) -> ClassificationData:
         val_ids=va_ids,
         class_names=class_names,
     )
+
+
+def pad_indices(idx: np.ndarray, batch_size: int) -> tuple[np.ndarray, int]:
+    """Pad an index batch to a fixed size by repeating the last index.
+
+    Keeps every eval/collection dispatch at one static shape — each novel
+    shape costs a full XLA compile (minutes on the remote-compile TPU
+    backend).  Returns (padded_indices, real_count)."""
+    n = len(idx)
+    if n == batch_size:
+        return idx, n
+    pad = np.full(batch_size - n, idx[-1], dtype=idx.dtype)
+    return np.concatenate([idx, pad]), n
 
 
 def batches(

@@ -132,14 +132,17 @@ def train_model(
         return m
 
     def run_validation(state: TrainState) -> tuple[float, float]:
-        losses, correct = 0.0, 0
+        losses, correct, total = 0.0, 0, 0
         for idx in data_lib.batches(n_val, 512):
+            idx, real = data_lib.pad_indices(idx, 512)
             imgs = jnp.asarray(data.val_images[idx], jnp.float32)[..., None] / 255.0
             labs = jnp.asarray(data.val_labels[idx])
             m = eval_step(state, imgs, labs)
-            losses += float(m["loss"]) * len(idx)
-            correct += int(float(m["accuracy"]) * len(idx) + 0.5)
-        return losses / n_val, correct / n_val
+            pred_ok = np.asarray(m["logits"]).argmax(-1)[:real] == np.asarray(labs)[:real]
+            losses += float(m["loss"]) * real  # padded dupes shift loss negligibly
+            correct += int(pred_ok.sum())
+            total += real
+        return losses / total, correct / total
 
     collection_epochs = list(range(collection_frequency, epochs + 1, collection_frequency))
     if epochs not in collection_epochs:
@@ -217,13 +220,14 @@ def train_model(
             ):
                 rows: dict[str, list] = {}
                 for idx in data_lib.batches(len(labs_a), 512):
+                    idx, real = data_lib.pad_indices(idx, 512)
                     m = collect_step(
                         state,
                         jnp.asarray(imgs_a[idx], jnp.float32)[..., None] / 255.0,
                         jnp.asarray(labs_a[idx]),
                     )
                     for k, v in collectors.to_numpy(m).items():
-                        rows.setdefault(k, []).append(v)
+                        rows.setdefault(k, []).append(v[:real])
                 cols = {k: np.concatenate(v) for k, v in rows.items()}
                 cols["example_id"] = np.asarray(ids, object)
                 name = f"{split}_epoch{epoch}"

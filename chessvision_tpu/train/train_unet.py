@@ -143,11 +143,16 @@ def train_model(
 
     def run_validation(state: TrainState) -> float:
         scores = []
+        total = 0
         for idx in data_lib.batches(n_val, batch_size, drop_last=False):
+            idx, real = data_lib.pad_indices(idx, batch_size)
             imgs = jnp.asarray(data.val_images[idx], jnp.float32) / 255.0
             msks = jnp.asarray(data.val_masks[idx])
-            scores.append(float(eval_step(state, imgs, msks)) * len(idx))
-        return float(np.sum(scores) / n_val)
+            # padded rows repeat the last sample; dice is per-batch mean, so
+            # weight by the real count for the aggregate
+            scores.append(float(eval_step(state, imgs, msks)) * real)
+            total += real
+        return float(np.sum(scores) / total)
 
     collection_epochs = list(range(collection_frequency, epochs + 1, collection_frequency))
     if epochs not in collection_epochs:
@@ -238,13 +243,14 @@ def train_model(
             ):
                 rows: dict[str, list] = {}
                 for idx in data_lib.batches(len(imgs_a), 8):
+                    idx, real = data_lib.pad_indices(idx, 8)
                     m = collect_step(
                         state,
                         jnp.asarray(imgs_a[idx], jnp.float32) / 255.0,
                         jnp.asarray(msks_a[idx]),
                     )
                     for k, v in collectors.to_numpy(m).items():
-                        rows.setdefault(k, []).append(v)
+                        rows.setdefault(k, []).append(v[:real])
                 cols = {k: np.concatenate(v) for k, v in rows.items()}
                 cols["example_id"] = np.asarray(ids, object)
                 name = f"{split}_epoch{epoch}"

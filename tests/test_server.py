@@ -1,0 +1,143 @@
+"""Serving endpoint tests: drive the real HTTP server with a stub model."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from chessvision_tpu import constants
+from chessvision_tpu.cv_types import (
+    BoardExtractionResult,
+    ChessVisionResult,
+    PositionResult,
+)
+from chessvision_tpu.serve.server import fen_2_json, serve
+
+START_FEN = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR"
+
+
+class StubCV:
+    """process_image stub returning a fixed start position."""
+
+    def __init__(self, found: bool = True):
+        self.found = found
+
+    def process_image(self, img, threshold=0.5, flip=False):
+        probs = np.zeros((64, 13), np.float32)
+        probs[:, constants.LABEL_INDICES["f"]] = 1.0
+        board = BoardExtractionResult(
+            probabilities=np.zeros((256, 256), np.float32),
+            binary_mask=np.zeros((256, 256), np.uint8),
+            quadrangle=np.zeros((4, 2), np.float32) if self.found else None,
+            board_image=np.zeros((512, 512), np.uint8) if self.found else None,
+        )
+        position = None
+        if self.found:
+            position = PositionResult(
+                fen=START_FEN,
+                original_fen=START_FEN,
+                model_probabilities=probs,
+                squares=np.zeros((64, 64, 64, 1), np.uint8),
+                square_names=constants.SQUARE_NAMES_NORMAL,
+                validation_fixes=[],
+            )
+        return ChessVisionResult(board_extraction=board, position=position, processing_time=0.01)
+
+
+@pytest.fixture(scope="module")
+def server_port(tmp_path_factory):
+    import cv2
+
+    server = serve(
+        port=0,
+        local=True,
+        cv_model=StubCV(),
+        upload_root=str(tmp_path_factory.mktemp("uploads")),
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield port
+    server.shutdown()
+
+
+def _post(port: int, path: str, payload: dict, ctype: str = "application/json"):
+    data = json.dumps(payload).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, headers={"Content-Type": ctype}, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _jpeg_b64() -> str:
+    import cv2
+
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3), np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+def test_ping(server_port: int) -> None:
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/ping") as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_cv_algo_success(server_port: int) -> None:
+    status, body = _post(server_port, "/cv_algo/", {"image": _jpeg_b64()})
+    assert status == 200
+    assert body["success"] is True
+    assert body["FEN"] == START_FEN
+    assert len(body["confidence_scores"]) == 64  # the fixed reference bug
+    assert body["position"]["a1"] == "R"
+    assert body["position"]["e8"] == "k"
+    assert "e4" not in body["position"]
+    assert body["processing_time"] > 0
+
+
+def test_cv_algo_missing_image(server_port: int) -> None:
+    status, body = _post(server_port, "/cv_algo/", {})
+    assert status == 400
+    assert body["success"] is False
+
+
+def test_cv_algo_invalid_image(server_port: int) -> None:
+    status, body = _post(server_port, "/cv_algo/", {"image": base64.b64encode(b"junk").decode()})
+    assert status == 400
+    assert "Invalid image" in body["error"] or "error" in body
+
+
+def test_feedback_roundtrip(server_port: int) -> None:
+    status, body = _post(
+        server_port, "/feedback/", {"id": "test-123", "position": {"a1": "R"}, "flip": False}
+    )
+    assert status == 200 and body["success"]
+    status, body = _post(server_port, "/feedback/", {"position": {}})
+    assert status == 400
+
+
+def test_fen_2_json() -> None:
+    pos = fen_2_json(START_FEN)
+    assert pos["a8"] == "r" and pos["h1"] == "R" and pos["e2"] == "P"
+    assert len(pos) == 32
+
+
+def test_no_board_detected(tmp_path) -> None:
+    server = serve(port=0, local=True, cv_model=StubCV(found=False), upload_root=str(tmp_path))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _post(port, "/cv_algo/", {"image": _jpeg_b64()})
+        assert status == 400
+        assert body["error"] == "No chessboard detected"
+    finally:
+        server.shutdown()
