@@ -48,16 +48,71 @@ def _unflatten(flat: dict[str, np.ndarray]) -> dict[str, Any]:
     return tree
 
 
-def save_checkpoint(path: str | Path, variables: VariableTree, metadata: Metadata | None = None) -> None:
+def save_checkpoint(
+    path: str | Path,
+    variables: VariableTree,
+    metadata: Metadata | None = None,
+    opt_state: Any = None,
+) -> None:
     """Save a Flax variable tree ({'params': ..., 'batch_stats': ...}) with
-    metadata to ``path`` (.npz)."""
+    metadata to ``path`` (.npz).  ``opt_state`` (any pytree) is stored
+    under 'opt_state/' for resumable training — the analogue of the
+    reference classifier checkpoints' optimizer_state_dict
+    (train_classifier.py:114-125); strip with strip_checkpoint()."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    flat = _flatten({k: v for k, v in variables.items()})
+    tree = {k: v for k, v in variables.items()}
+    if opt_state is not None:
+        import jax
+
+        leaves = jax.tree.leaves(opt_state)
+        tree["opt_state"] = {f"leaf{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+    flat = _flatten(tree)
     flat[_META_KEY] = np.frombuffer(
         json.dumps(metadata or {}).encode("utf-8"), dtype=np.uint8
     )
     np.savez(path, **flat)
+
+
+def load_opt_state_leaves(variables: VariableTree) -> list[np.ndarray] | None:
+    """Extract saved optimizer leaves (restore with
+    jax.tree.unflatten(treedef, leaves) against a freshly built state)."""
+    opt = variables.get("opt_state")
+    if not opt:
+        return None
+    return [opt[k] for k in sorted(opt)]
+
+
+def promote_checkpoint(src: str | Path, dest: str | Path, compress: bool = True) -> Path:
+    """Copy a training checkpoint to a weights/ path, dropping optimizer
+    state and (optionally) storing float params as float16 — a ~2×
+    smaller distribution artifact; loaders upcast to float32.  BatchNorm
+    running stats stay float32."""
+    variables, metadata = load_checkpoint(src)
+    variables.pop("opt_state", None)
+    if compress:
+        def shrink(tree):
+            return {
+                k: shrink(v) if isinstance(v, dict) else (
+                    v.astype(np.float16) if np.asarray(v).dtype == np.float32 else v
+                )
+                for k, v in tree.items()
+            }
+
+        variables["params"] = shrink(variables["params"])
+    save_checkpoint(dest, variables, metadata)
+    return Path(dest)
+
+
+def strip_checkpoint(path: str | Path, out_path: str | Path | None = None) -> Path:
+    """Remove optimizer state from a checkpoint (the reference's
+    strip_optimizer.py:15-47)."""
+    path = Path(path)
+    variables, metadata = load_checkpoint(path)
+    variables.pop("opt_state", None)
+    out = Path(out_path or path)
+    save_checkpoint(out, variables, metadata)
+    return out
 
 
 def load_checkpoint(path: str | Path) -> tuple[VariableTree, Metadata]:
@@ -67,7 +122,13 @@ def load_checkpoint(path: str | Path) -> tuple[VariableTree, Metadata]:
     if path.suffix in (".pth", ".pt"):
         return load_torch_checkpoint(path)
     with np.load(path, allow_pickle=False) as data:
-        flat = {k: data[k] for k in data.files if k != _META_KEY}
+        flat = {}
+        for k in data.files:
+            if k == _META_KEY:
+                continue
+            v = data[k]
+            # float16 is a storage format (promote_checkpoint); compute in f32
+            flat[k] = v.astype(np.float32) if v.dtype == np.float16 else v
         metadata: Metadata = {}
         if _META_KEY in data.files:
             metadata = json.loads(bytes(data[_META_KEY].tolist()).decode("utf-8"))

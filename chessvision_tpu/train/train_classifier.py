@@ -288,15 +288,15 @@ def main() -> None:
         augment=not args.no_augment,
         width=args.width,
     )
-    import shutil
     from pathlib import Path
+
+    from chessvision_tpu.checkpoint import promote_checkpoint
 
     default = (
         constants.BEST_YOLO_CLASSIFIER if args.model_id == "yolo" else constants.BEST_CLASSIFIER_WEIGHTS
     )
     if args.promote or not Path(default).exists():
-        Path(default).parent.mkdir(parents=True, exist_ok=True)
-        shutil.copy(checkpoint_path, default)
+        promote_checkpoint(checkpoint_path, default)
         logger.info("Promoted checkpoint to %s", default)
 
     if not args.skip_eval:

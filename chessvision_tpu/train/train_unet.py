@@ -312,12 +312,12 @@ def main() -> None:
         bilinear=args.bilinear,
         base=args.base,
     )
-    import shutil
     from pathlib import Path
 
+    from chessvision_tpu.checkpoint import promote_checkpoint
+
     if args.promote or not Path(constants.BEST_EXTRACTOR_WEIGHTS).exists():
-        Path(constants.BEST_EXTRACTOR_WEIGHTS).parent.mkdir(parents=True, exist_ok=True)
-        shutil.copy(checkpoint_path, constants.BEST_EXTRACTOR_WEIGHTS)
+        promote_checkpoint(checkpoint_path, constants.BEST_EXTRACTOR_WEIGHTS)
         logger.info("Promoted checkpoint to %s", constants.BEST_EXTRACTOR_WEIGHTS)
 
     if not args.skip_eval:

@@ -1,0 +1,32 @@
+"""Quickstart: load a test image, run the full pipeline, print the FEN.
+
+The equivalent of the reference's examples/quickstart-example.ipynb.
+"""
+
+from pathlib import Path
+
+import cv2
+
+from chessvision_tpu import ChessVision, constants
+
+
+def main() -> None:
+    image_path = Path(constants.DATA_ROOT) / "test" / "initial" / "raw"
+    image_file = sorted(image_path.glob("*.JPG"))[0]
+    image = cv2.imread(str(image_file))
+    print(f"Processing {image_file.name} ({image.shape})")
+
+    cv_model = ChessVision(lazy_load=False)
+    result = cv_model.process_image(image)
+
+    if result.position is None:
+        print("No chessboard detected")
+        return
+    print(f"FEN:           {result.position.fen}")
+    print(f"original FEN:  {result.position.original_fen}")
+    print(f"fixes:         {result.position.validation_fixes}")
+    print(f"time:          {result.processing_time * 1000:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
