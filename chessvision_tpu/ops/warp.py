@@ -161,6 +161,14 @@ def _warp_batched_twopass(imgs: jnp.ndarray, ms: jnp.ndarray, out_h: int, out_w:
     at Y(u, v).  The composite samples src exactly along the inverse-mapped
     positions; reconstruction differs from one-shot bilinear only in the
     interpolation footprint (sub-level differences on natural images).
+
+    Caveat (Catmull–Smith bottleneck): homographies whose rotation
+    component approaches ±90° make pass 1 ill-conditioned (den_v → 0) and
+    the output collapses.  The engine never produces such homographies —
+    quadrangle corner ordering (ops/quad.py order_like_reference) bounds
+    the rotation to roughly ±45°, where this path is accurate (verified in
+    tests) — but arbitrary-matrix callers should use method='bilinear'
+    for near-axis-swapping transforms.
     """
     b, src_h, src_w = imgs.shape
     minv = jax.vmap(invert_homography)(ms)  # (B, 3, 3)

@@ -1,0 +1,96 @@
+"""Augmentation tests: shape/range contracts, determinism, identity no-ops."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from chessvision_tpu.train.augment import (
+    _affine_matrices,
+    _rotation_matrices,
+    _warp_nhwc,
+    augment_classification_batch,
+    augment_segmentation_batch,
+)
+
+
+def test_segmentation_augment_contracts() -> None:
+    key = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.default_rng(0).random((4, 256, 256, 3)), jnp.float32)
+    # realistic solid board-blob masks, not binary noise
+    msk = np.zeros((4, 256, 256), np.float32)
+    msk[:, 40:210, 50:220] = 1.0
+    ai, am = augment_segmentation_batch(key, imgs, jnp.asarray(msk))
+    assert ai.shape == imgs.shape and am.shape == msk.shape
+    assert float(ai.min()) >= 0.0 and float(ai.max()) <= 1.0
+    # masks stay near-binary (warping interpolates edges only)
+    frac_mid = float(((am > 0.1) & (am < 0.9)).mean())
+    assert frac_mid < 0.05
+
+
+def test_segmentation_augment_deterministic() -> None:
+    key = jax.random.PRNGKey(7)
+    imgs = jnp.asarray(np.random.default_rng(0).random((2, 256, 256, 3)), jnp.float32)
+    msks = jnp.zeros((2, 256, 256), jnp.float32)
+    a1, _ = augment_segmentation_batch(key, imgs, msks)
+    a2, _ = augment_segmentation_batch(key, imgs, msks)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    a3, _ = augment_segmentation_batch(jax.random.PRNGKey(8), imgs, msks)
+    assert not np.array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_classification_augment_contracts() -> None:
+    key = jax.random.PRNGKey(0)
+    sq = jnp.asarray(np.random.default_rng(2).random((8, 64, 64, 1)), jnp.float32)
+    aq = augment_classification_batch(key, sq)
+    assert aq.shape == sq.shape
+    # content preserved-ish: mean shifts only moderately
+    assert abs(float(aq.mean()) - float(sq.mean())) < 0.15
+
+
+def test_identity_matrices_are_noops() -> None:
+    imgs = jnp.asarray(np.random.default_rng(0).random((3, 64, 64)), jnp.float32)
+    m0 = _rotation_matrices(jnp.zeros((3,)), 64, 64)
+    out = _warp_nhwc(imgs, m0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-5)
+    m1 = _affine_matrices(jnp.zeros((3,)), jnp.zeros((3,)), jnp.ones((3,)), 64, 64)
+    out = _warp_nhwc(imgs, m1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-5)
+
+
+def test_rotation_moves_content() -> None:
+    # 45° is within the two-pass warp's well-conditioned range (augment
+    # rotations are ±15°; ~90° is the documented bottleneck, covered by
+    # the exact bilinear path)
+    img = np.zeros((1, 64, 64), np.float32)
+    img[0, 10:20, 40:50] = 1.0
+    m = _rotation_matrices(jnp.asarray([45.0]), 64, 64)
+    out = np.asarray(_warp_nhwc(jnp.asarray(img), m))
+    assert out.sum() > 50  # mass preserved (away from borders)
+    assert np.abs(out[0, 10:20, 40:50]).sum() < out.sum() * 0.5  # moved
+
+
+def test_twopass_matches_bilinear_at_moderate_rotation() -> None:
+    """Lock in two-pass accuracy across the rotation range the engine can
+    produce (quad ordering bounds it to ~±45°)."""
+    from chessvision_tpu.ops.warp import warp_perspective
+
+    # smooth natural-image-like content (blurred noise): white noise has
+    # no spatial correlation and exaggerates footprint differences
+    rough = np.random.default_rng(0).random((64, 64)).astype(np.float32)
+    k = np.ones((3, 3)) / 9.0
+    img = rough.copy()
+    for _ in range(2):
+        img = np.pad(img, 1, mode="edge")
+        img = sum(
+            img[1 + dy : 65 + dy, 1 + dx : 65 + dx] * k[dy + 1, dx + 1]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        )
+    img = jnp.asarray(img, jnp.float32)
+    for ang in [-45.0, -30.0, 0.0, 30.0, 45.0]:
+        m = _rotation_matrices(jnp.asarray([ang]), 64, 64)[0]
+        a = np.asarray(warp_perspective(img, m, (64, 64), method="twopass"))
+        b = np.asarray(warp_perspective(img, m, (64, 64), method="bilinear"))
+        # interiors agree to interpolation-footprint differences
+        assert np.abs(a - b)[8:-8, 8:-8].mean() < 0.02, ang
