@@ -75,6 +75,9 @@ class ChessVision:
         enable_compilation_cache()
         self._board_extractor: Any = None  # (module, spec, variables)
         self._classifier: Any = None
+        # explicit (user-provided) weights win; None means "model default"
+        self._explicit_extractor_weights = board_extractor_weights
+        self._explicit_classifier_weights = classifier_weights
         self._board_extractor_weights = board_extractor_weights or constants.BEST_EXTRACTOR_WEIGHTS
         self._board_extractor_model_id = board_extractor_model_id
         self._classifier_weights = classifier_weights
@@ -101,7 +104,7 @@ class ChessVision:
         default = (
             constants.BEST_YOLO_EXTRACTOR if spec.model_id == "yolo" else constants.BEST_EXTRACTOR_WEIGHTS
         )
-        variables, path = _init_or_load(module, spec, self._board_extractor_weights, default)
+        variables, path = _init_or_load(module, spec, self._explicit_extractor_weights, default)
         self._board_extractor = (module, spec, variables)
         self._board_extractor_weights = path
 
@@ -112,7 +115,7 @@ class ChessVision:
         default = (
             constants.BEST_YOLO_CLASSIFIER if spec.model_id == "yolo" else constants.BEST_CLASSIFIER_WEIGHTS
         )
-        variables, path = _init_or_load(module, spec, self._classifier_weights, default)
+        variables, path = _init_or_load(module, spec, self._explicit_classifier_weights, default)
         self._classifier = (module, spec, variables)
         self._classifier_model_id = spec.model_id
         self._classifier_weights = path

@@ -125,8 +125,17 @@ def support_points(component: jnp.ndarray, k: int = NUM_DIRECTIONS) -> jnp.ndarr
 
 
 def decimate_to_quad(points: jnp.ndarray) -> jnp.ndarray:
-    """Visvalingam–Whyatt decimation of a closed polygon (k, 2), in order,
-    down to 4 vertices.  Returns (4, 2) in the original traversal order."""
+    """Iterative decimation of a closed polygon (k, 2), in order, down to 4
+    vertices: repeatedly remove the vertex with the smallest *deviation*
+    (perpendicular distance to the chord between its active neighbours).
+
+    The deviation criterion matches cv2.approxPolyDP's semantics — a thin
+    protrusion's tip deviates little from its chord and is dropped early,
+    while a true (possibly rounded) corner's surviving vertex accumulates
+    deviation as its neighbours disappear.  (Visvalingam's triangle-area
+    criterion is deviation × chord-length and wrongly favours spike tips
+    sitting between far-apart neighbours.)  Returns (4, 2) in traversal
+    order."""
     k = points.shape[0]
     idx = jnp.arange(k, dtype=jnp.int32)
     prv = jnp.roll(idx, 1)
@@ -134,19 +143,23 @@ def decimate_to_quad(points: jnp.ndarray) -> jnp.ndarray:
     active = jnp.ones((k,), jnp.bool_)
     big = jnp.float32(3.0e18)
 
-    def tri_areas(prv, nxt, active):
+    def deviations(prv, nxt, active):
         p = points
         a = p[prv]
         b = p
         c = p[nxt]
-        area = jnp.abs((a[:, 0] - b[:, 0]) * (c[:, 1] - b[:, 1]) - (a[:, 1] - b[:, 1]) * (c[:, 0] - b[:, 0]))
+        cross = jnp.abs(
+            (a[:, 0] - b[:, 0]) * (c[:, 1] - b[:, 1]) - (a[:, 1] - b[:, 1]) * (c[:, 0] - b[:, 0])
+        )
+        chord = jnp.sqrt(jnp.sum((c - a) ** 2, axis=1))
+        dist = cross / jnp.maximum(chord, 1e-6)
         # Deterministic tie-break: prefer removing lower indices first.
-        return jnp.where(active, area + idx.astype(jnp.float32) * 1e-6, big)
+        return jnp.where(active, dist + idx.astype(jnp.float32) * 1e-6, big)
 
     def body(_, state):
         prv, nxt, active = state
-        areas = tri_areas(prv, nxt, active)
-        r = jnp.argmin(areas)
+        devs = deviations(prv, nxt, active)
+        r = jnp.argmin(devs)
         pr = prv[r]
         nx = nxt[r]
         active = active.at[r].set(False)
