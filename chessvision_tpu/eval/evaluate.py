@@ -117,6 +117,7 @@ def evaluate_model(
     classifier_weights: str | None = None,
     classifier_model_id: str | None = None,
     include_metrics_table: bool = False,
+    save_artifacts: bool = False,
     batch_size: int = 32,
     limit: int | None = None,
     image_size: int = 512,
@@ -171,11 +172,22 @@ def evaluate_model(
         results.append(cv_model.engine.process_batch(images[start : start + batch_size], threshold))
     elapsed = time.time() - t0
 
+    artifacts_dir = Path(run.bulk_data_url) / "artifacts"
     idx = 0
     for res in results:
         for bi in range(len(res.board_found)):
             name, true_fen = names[idx], true_fens[idx]
             idx += 1
+            if save_artifacts:
+                from chessvision_tpu.eval.render import save_eval_artifacts
+
+                save_eval_artifacts(
+                    artifacts_dir,
+                    name,
+                    fen=res.fens[bi] if res.board_found[bi] else None,
+                    binary_mask=res.binary_mask[bi],
+                    board_image=res.board_image[bi] if res.board_found[bi] else None,
+                )
             if not res.board_found[bi]:
                 extraction_failures += 1
                 if include_metrics_table:
@@ -248,6 +260,7 @@ def main() -> None:
     parser.add_argument("--classifier-weights", type=str, default=None)
     parser.add_argument("--classifier-model-id", type=str, default=None)
     parser.add_argument("--include-metrics-table", action="store_true")
+    parser.add_argument("--save-artifacts", action="store_true")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=32)
     args = parser.parse_args()
@@ -259,6 +272,7 @@ def main() -> None:
         classifier_weights=args.classifier_weights,
         classifier_model_id=args.classifier_model_id,
         include_metrics_table=args.include_metrics_table,
+        save_artifacts=args.save_artifacts,
         limit=args.limit,
         batch_size=args.batch_size,
     )

@@ -1,0 +1,86 @@
+"""Board rendering for evaluation artifacts — no cairo dependency.
+
+The reference renders predicted positions through chess.svg + cairosvg
+(evaluate.py:155-157); neither is available here, so boards are drawn
+directly with matplotlib (unicode piece glyphs on a colored grid), giving
+the same capability: per-image predicted-position PNGs next to masks and
+extracted boards.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from chessvision_tpu.chessboard import expand_fen
+
+GLYPHS = {
+    "P": "♙", "N": "♘", "B": "♗", "R": "♖", "Q": "♕", "K": "♔",
+    "p": "♟", "n": "♞", "b": "♝", "r": "♜", "q": "♛", "k": "♚",
+}
+LIGHT = "#f0d9b5"
+DARK = "#b58863"
+
+
+def render_board_png(fen: str, path: str | Path, size: int = 400) -> Path:
+    """Render a board FEN to a PNG file."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    expanded = expand_fen(fen)
+    fig, ax = plt.subplots(figsize=(size / 100, size / 100), dpi=100)
+    for rank in range(8):  # rank 0 = top (8th rank)
+        for file in range(8):
+            color = LIGHT if (rank + file) % 2 == 0 else DARK
+            ax.add_patch(plt.Rectangle((file, 7 - rank), 1, 1, facecolor=color))
+            piece = expanded[rank * 8 + file]
+            if piece != ".":
+                ax.text(
+                    file + 0.5,
+                    7 - rank + 0.5,
+                    GLYPHS[piece],
+                    fontsize=size / 16,
+                    ha="center",
+                    va="center",
+                )
+    ax.set_xlim(0, 8)
+    ax.set_ylim(0, 8)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return path
+
+
+def save_eval_artifacts(
+    out_dir: str | Path,
+    name: str,
+    *,
+    fen: str | None = None,
+    binary_mask: np.ndarray | None = None,
+    board_image: np.ndarray | None = None,
+) -> list[Path]:
+    """Persist the reference's per-image eval artifacts (evaluate.py:373-403):
+    predicted-board render, binary mask, extracted board crop."""
+    import cv2
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: list[Path] = []
+    stem = Path(name).stem
+    if fen:
+        written.append(render_board_png(fen, out / f"{stem}_predicted.png"))
+    if binary_mask is not None:
+        p = out / f"{stem}_mask.png"
+        cv2.imwrite(str(p), binary_mask)
+        written.append(p)
+    if board_image is not None:
+        p = out / f"{stem}_board.png"
+        cv2.imwrite(str(p), board_image)
+        written.append(p)
+    return written

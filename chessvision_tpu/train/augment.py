@@ -151,15 +151,32 @@ def augment_segmentation_batch(key: jax.Array, images: jnp.ndarray, masks: jnp.n
 
 
 @jax.jit
-def augment_classification_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
+def augment_classification_batch(
+    key: jax.Array, images: jnp.ndarray, photometric: bool = True
+) -> jnp.ndarray:
     """(B,64,64,1) f32 in [0,1]: RandomAffine(translate ±10%, scale
-    0.95–1.05) then RandomRotation(±15°), as one composed batched warp."""
+    0.95–1.05) then RandomRotation(±15°) as one composed batched warp
+    (the reference's transform set, train_classifier.py:34-43), plus —
+    beyond the reference — per-sample photometric jitter (brightness/
+    contrast, p=0.5 blur) to close the clean-training-square vs
+    warped-test-board domain gap."""
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
-    kt, ks, kr = jax.random.split(key, 3)
+    kt, ks, kr, kb, kc, kg, kp = jax.random.split(key, 7)
     txy = jax.random.uniform(kt, (b, 2), minval=-0.1, maxval=0.1) * w
     scale = jax.random.uniform(ks, (b,), minval=0.95, maxval=1.05)
     angles = jax.random.uniform(kr, (b,), minval=-15.0, maxval=15.0)
     m_aff = _affine_matrices(txy[:, 0], txy[:, 1], scale, h, w)
     m_rot = _rotation_matrices(angles, h, w)
     ms = jnp.einsum("bij,bjk->bik", m_rot, m_aff)
-    return _warp_nhwc(images, ms)
+    images = _warp_nhwc(images, ms)
+
+    if photometric:
+        bright = jax.random.uniform(kb, (b, 1, 1, 1), minval=0.75, maxval=1.25)
+        contrast = jax.random.uniform(kc, (b, 1, 1, 1), minval=0.75, maxval=1.25)
+        images = images * bright
+        mean = images.mean(axis=(1, 2, 3), keepdims=True)
+        images = (images - mean) * contrast + mean
+        do_blur = jax.random.uniform(kp, (b,)) > 0.5
+        images = _gaussian_blur3_batch(kg, images, do_blur)
+        images = jnp.clip(images, 0.0, 1.0)
+    return images

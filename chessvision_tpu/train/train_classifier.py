@@ -50,6 +50,8 @@ def train_model(
     model_dtype: Any = None,
     use_mesh: bool = True,
     width: int | None = None,
+    lr_step_size: int = LR_SCHEDULER_STEP_SIZE,
+    lr_gamma: float = LR_SCHEDULER_GAMMA,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -102,8 +104,8 @@ def train_model(
     steps_per_epoch = max(1, n_train // batch_size)
     schedule = optax.exponential_decay(
         learning_rate,
-        transition_steps=LR_SCHEDULER_STEP_SIZE * steps_per_epoch,
-        decay_rate=LR_SCHEDULER_GAMMA,
+        transition_steps=lr_step_size * steps_per_epoch,
+        decay_rate=lr_gamma,
         staircase=True,
     )
     tx = optax.adam(schedule)
@@ -267,6 +269,8 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--patience", type=int, default=5)
     parser.add_argument("--no-augment", action="store_true", default=False)
     parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--lr-step-size", type=int, default=LR_SCHEDULER_STEP_SIZE)
+    parser.add_argument("--lr-gamma", type=float, default=LR_SCHEDULER_GAMMA)
     parser.add_argument("--promote", action="store_true")
     return parser.parse_args()
 
@@ -287,6 +291,8 @@ def main() -> None:
         seed=args.seed,
         augment=not args.no_augment,
         width=args.width,
+        lr_step_size=args.lr_step_size,
+        lr_gamma=args.lr_gamma,
     )
     from pathlib import Path
 

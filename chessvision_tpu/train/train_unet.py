@@ -51,6 +51,8 @@ def train_model(
     base: int = 64,
     model_dtype: Any = None,
     use_mesh: bool = True,
+    model_id: str = "unet",
+    optimizer: str = "rmsprop",
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -95,7 +97,13 @@ def train_model(
         batch_size = max(batch_size, mesh.size)
         batch_size -= batch_size % mesh.size
 
-    model = models.UNet(bilinear=bilinear, base=base, dtype=model_dtype)
+    if model_id == "unet":
+        model = models.UNet(bilinear=bilinear, base=base, dtype=model_dtype)
+    else:
+        # the YOLO-segmentation slot (reference
+        # train_yolo_segmentation_model.py trains yolo11s-seg on the same
+        # tables at imgsz=256; here the shape-compatible YoloSeg)
+        model, _ = models.create_extractor(model_id, dtype=model_dtype)
     rng_np = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     variables = model.init(key, jnp.zeros((1, 256, 256, 3), jnp.float32))
@@ -103,10 +111,16 @@ def train_model(
     # ReduceLROnPlateau via injected hyperparams (torch: factor 0.1,
     # patience 3, mode max — train_unet.py:243)
     def make_tx(lr: float) -> optax.GradientTransformation:
+        if optimizer == "adam":
+            core = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        else:
+            core = optax.inject_hyperparams(optax.rmsprop)(
+                learning_rate=lr, momentum=momentum, eps=1e-8
+            )
         return optax.chain(
             optax.clip_by_global_norm(gradient_clipping),
             optax.add_decayed_weights(weight_decay),
-            optax.inject_hyperparams(optax.rmsprop)(learning_rate=lr, momentum=momentum, eps=1e-8),
+            core,
         )
 
     state = TrainState.create(
@@ -121,13 +135,16 @@ def train_model(
     train_step = make_seg_train_step(mesh)
     eval_step = make_seg_eval_step()
 
+    has_feature_tap = model_id == "unet"
+
     @jax.jit
     def collect_step(state: TrainState, images: jnp.ndarray, masks: jnp.ndarray):
-        (out, features) = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images,
-            return_features=True,
-        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if has_feature_tap:
+            out, features = state.apply_fn(variables, images, return_features=True)
+        else:
+            out = state.apply_fn(variables, images)
+            features = jnp.mean(out, axis=(1, 2))  # pooled logits fallback
         logits = out[..., 0]
         m: dict[str, jnp.ndarray] = {}
         m.update(collectors.segmentation_loss_per_sample(logits, masks))
@@ -164,9 +181,10 @@ def train_model(
         "learning_rate": learning_rate,
         "threshold": threshold,
         "run_name": run.name,
-        "model_id": "unet",
+        "model_id": model_id,
         "bilinear": bilinear,
         "base": base,
+        "optimizer": optimizer,
     }
     save_checkpoint(
         checkpoint_path,
@@ -290,6 +308,8 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--bilinear", action="store_true", default=False)
     parser.add_argument("--base", type=int, default=64)
     parser.add_argument("--no-augment", action="store_true", default=False)
+    parser.add_argument("--model-id", type=str, default="unet", help="unet or yolo")
+    parser.add_argument("--optimizer", type=str, default="rmsprop", choices=["rmsprop", "adam"])
     parser.add_argument("--promote", action="store_true", help="copy best checkpoint to weights/")
     return parser.parse_args()
 
@@ -311,14 +331,19 @@ def main() -> None:
         augment=not args.no_augment,
         bilinear=args.bilinear,
         base=args.base,
+        model_id=args.model_id,
+        optimizer=args.optimizer,
     )
     from pathlib import Path
 
     from chessvision_tpu.checkpoint import promote_checkpoint
 
-    if args.promote or not Path(constants.BEST_EXTRACTOR_WEIGHTS).exists():
-        promote_checkpoint(checkpoint_path, constants.BEST_EXTRACTOR_WEIGHTS)
-        logger.info("Promoted checkpoint to %s", constants.BEST_EXTRACTOR_WEIGHTS)
+    default = (
+        constants.BEST_YOLO_EXTRACTOR if args.model_id == "yolo" else constants.BEST_EXTRACTOR_WEIGHTS
+    )
+    if args.promote or not Path(default).exists():
+        promote_checkpoint(checkpoint_path, default)
+        logger.info("Promoted checkpoint to %s", default)
 
     if not args.skip_eval:
         from chessvision_tpu.eval.evaluate import evaluate_model
@@ -327,6 +352,7 @@ def main() -> None:
             run=run,
             threshold=args.threshold,
             board_extractor_weights=checkpoint_path,
+            board_extractor_model_id=None if args.model_id == "unet" else args.model_id,
         )
 
 
