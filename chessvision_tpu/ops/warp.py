@@ -135,6 +135,38 @@ def _warp_batched(imgs: jnp.ndarray, ms: jnp.ndarray, out_h: int, out_w: int) ->
     return out
 
 
+def _pallas_eligible(src: jnp.ndarray, pos: jnp.ndarray) -> bool:
+    """Use the banded Pallas kernel on TPU when shapes satisfy its tiling
+    (rows %8, outputs %128, source width ≥256 and %64)."""
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # noqa: BLE001
+        return False
+    n = 1
+    for d in src.shape[:-1]:
+        n *= d
+    j = src.shape[-1]
+    u = pos.shape[-1]
+    return n % 8 == 0 and u % 128 == 0 and j >= 256 and j % 64 == 0
+
+
+def _hat_resample_dispatch(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(..., J) rows resampled at (..., U) positions; banded Pallas kernel
+    on TPU, fused XLA multiply-reduce elsewhere."""
+    if _pallas_eligible(src, pos):
+        from chessvision_tpu.ops.pallas_kernels import banded_resample
+
+        lead = src.shape[:-1]
+        out = banded_resample(
+            src.reshape(-1, src.shape[-1]), pos.reshape(-1, pos.shape[-1])
+        )
+        return out.reshape(*lead, pos.shape[-1])
+    return _hat_resample_last_axis(src, pos)
+
+
 def _hat_resample_last_axis(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """1-D linear resample along the last axis with per-row positions.
 
@@ -190,7 +222,7 @@ def _warp_batched_twopass(imgs: jnp.ndarray, ms: jnp.ndarray, out_h: int, out_w:
     hx = (bc(a_) * us + bc(b_) * v_star + bc(c_)) / jnp.where(
         jnp.abs(den_x) < 1e-8, 1e-8, den_x
     )
-    tmp = _hat_resample_last_axis(imgs, hx)  # (B, src_h, out_w)
+    tmp = _hat_resample_dispatch(imgs, hx)  # (B, src_h, out_w)
 
     # pass-2 positions Y over (B, u=out_w, v=out_h), resampling tmp columns
     vs = jax.lax.broadcasted_iota(jnp.float32, (out_w, out_h), 1)
@@ -198,7 +230,7 @@ def _warp_batched_twopass(imgs: jnp.ndarray, ms: jnp.ndarray, out_h: int, out_w:
     den = bc(g_) * uu + bc(h_) * vs + bc(i_)
     vy = (bc(d_) * uu + bc(e_) * vs + bc(f_)) / jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
     tmp_t = tmp.transpose(0, 2, 1)  # (B, out_w, src_h)
-    out_t = _hat_resample_last_axis(tmp_t, vy)  # (B, out_w, out_h)
+    out_t = _hat_resample_dispatch(tmp_t, vy)  # (B, out_w, out_h)
     return out_t.transpose(0, 2, 1)
 
 
