@@ -28,40 +28,57 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_BLOCK = 8  # f32 sublane tile
-U_TILE = 128  # output-lane tile
+ROW_BLOCK = 32  # rows per program (looped in sub-chunks of 8 inside)
+SUB_ROWS = 8  # f32 sublane tile
+U_TILE = 128  # output-lane tile per inner step
 WINDOW = 256  # source band width
 QUANT = 64  # window-start quantization
 
 
 def _kernel(src_ref, pos_ref, out_ref):
-    pos = pos_ref[:, :]  # (ROW_BLOCK, U_TILE) float32 source positions
+    """One program handles a (ROW_BLOCK, U) block, looping over
+    (SUB_ROWS, U_TILE) sub-tiles — large blocks amortize grid-launch
+    overhead while the (8, 128, 256) weight tensor stays ~1 MB in VMEM."""
     src_w = src_ref.shape[-1]
-    n_starts = (src_w - WINDOW) // QUANT + 1
+    u_total = pos_ref.shape[-1]
 
-    start_f = jnp.floor(jnp.min(pos)) - 1.0
-    start_q = jnp.clip(
-        (start_f / QUANT).astype(jnp.int32) * QUANT, 0, src_w - WINDOW
-    )
+    for r0 in range(0, ROW_BLOCK, SUB_ROWS):
+        for t0 in range(0, u_total, U_TILE):
+            pos = pos_ref[r0 : r0 + SUB_ROWS, t0 : t0 + U_TILE]
 
-    def make_branch(s: int):
-        def branch():
-            return src_ref[:, s * QUANT : s * QUANT + WINDOW]
+            start_f = jnp.floor(jnp.min(pos)) - 1.0
+            start_q = jnp.clip(
+                (start_f / QUANT).astype(jnp.int32) * QUANT, 0, src_w - WINDOW
+            )
+            # NOTE: a dynamic lane-offset slice (pl.ds + multiple_of) would
+            # be the natural band select, but it crashes this backend's
+            # Mosaic compiler; a switch over the static QUANT-aligned
+            # slices compiles fine.
+            n_starts = (src_w - WINDOW) // QUANT + 1
 
-        return branch
+            def make_branch(s: int, r0=r0):
+                def branch():
+                    return src_ref[r0 : r0 + SUB_ROWS, s * QUANT : s * QUANT + WINDOW]
 
-    window = jax.lax.switch(start_q // QUANT, [make_branch(s) for s in range(n_starts)])
+                return branch
 
-    start = start_q.astype(jnp.float32)
-    j = start + jax.lax.broadcasted_iota(jnp.float32, (1, 1, WINDOW), 2)
-    # clamp into the band with ±0.999 slack so border positions keep their
-    # partial hat weight (constant-zero border like cv2); positions fully
-    # outside the image are zeroed by the validity mask below
-    pos_c = jnp.clip(pos, start - 0.999, start + WINDOW - 1.0 + 0.999)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos_c[:, :, None] - j))  # (8, 128, 256)
-    valid = (pos > -1.0) & (pos < jnp.float32(src_w))
-    out = jnp.sum(w * window[:, None, :], axis=-1)
-    out_ref[:, :] = jnp.where(valid, out, 0.0)
+            window = jax.lax.switch(
+                start_q // QUANT, [make_branch(s) for s in range(n_starts)]
+            )
+
+            start = start_q.astype(jnp.float32)
+            # Mosaic iota must be integer-typed; cast after
+            j = start + jax.lax.broadcasted_iota(jnp.int32, (1, 1, WINDOW), 2).astype(
+                jnp.float32
+            )
+            # clamp into the band with ±0.999 slack so border positions keep
+            # their partial hat weight (constant-zero border like cv2);
+            # fully-out-of-image positions are zeroed by the validity mask
+            pos_c = jnp.clip(pos, start - 0.999, start + WINDOW - 1.0 + 0.999)
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(pos_c[:, :, None] - j))
+            valid = (pos > -1.0) & (pos < jnp.float32(src_w))
+            out = jnp.sum(w * window[:, None, :], axis=-1)
+            out_ref[r0 : r0 + SUB_ROWS, t0 : t0 + U_TILE] = jnp.where(valid, out, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -77,15 +94,15 @@ def banded_resample(src: jnp.ndarray, pos: jnp.ndarray, interpret: bool = False)
     u = pos.shape[1]
     assert n % ROW_BLOCK == 0 and u % U_TILE == 0 and j >= WINDOW and j % QUANT == 0, (n, u, j)
 
-    grid = (n // ROW_BLOCK, u // U_TILE)
+    grid = (n // ROW_BLOCK,)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROW_BLOCK, j), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, U_TILE), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, j), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, u), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, U_TILE), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((ROW_BLOCK, u), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, u), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

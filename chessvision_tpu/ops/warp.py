@@ -136,8 +136,17 @@ def _warp_batched(imgs: jnp.ndarray, ms: jnp.ndarray, out_h: int, out_w: int) ->
 
 
 def _pallas_eligible(src: jnp.ndarray, pos: jnp.ndarray) -> bool:
-    """Use the banded Pallas kernel on TPU when shapes satisfy its tiling
-    (rows %8, outputs %128, source width ≥256 and %64)."""
+    """Whether to route through the banded Pallas kernel.
+
+    Opt-in via CVTPU_PALLAS_WARP=1: measured on v5e (B=128, 512²), XLA's
+    fused multiply-reduce runs the full-width contraction in 59 ms while
+    the banded Pallas variants measured 68–80 ms — Mosaic's code for the
+    switch-selected band doesn't beat XLA's fusion here, so the kernel
+    stays an optional path pending further tuning."""
+    import os
+
+    if os.getenv("CVTPU_PALLAS_WARP") != "1":
+        return False
     try:
         import jax
 
@@ -145,12 +154,14 @@ def _pallas_eligible(src: jnp.ndarray, pos: jnp.ndarray) -> bool:
             return False
     except Exception:  # noqa: BLE001
         return False
+    from chessvision_tpu.ops import pallas_kernels as pk
+
     n = 1
     for d in src.shape[:-1]:
         n *= d
     j = src.shape[-1]
     u = pos.shape[-1]
-    return n % 8 == 0 and u % 128 == 0 and j >= 256 and j % 64 == 0
+    return n % pk.ROW_BLOCK == 0 and u % pk.U_TILE == 0 and j >= pk.WINDOW and j % pk.QUANT == 0
 
 
 def _hat_resample_dispatch(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:

@@ -16,17 +16,17 @@ def _full(src: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 def test_matches_full_resample_in_range() -> None:
     rng = np.random.default_rng(0)
-    src = rng.random((16, 512)).astype(np.float32)
+    src = rng.random((32, 512)).astype(np.float32)
     base = np.linspace(10, 10 + 511 * 0.9, 512)
-    pos = np.stack([base + i for i in range(16)]).astype(np.float32)
+    pos = np.stack([base + i for i in range(32)]).astype(np.float32)
     got = np.asarray(banded_resample(jnp.asarray(src), jnp.asarray(pos), interpret=True))
     np.testing.assert_allclose(got, _full(src, pos), atol=1e-4)
 
 
 def test_matches_full_resample_with_borders() -> None:
     rng = np.random.default_rng(1)
-    src = rng.random((8, 512)).astype(np.float32)
-    pos = np.stack([np.linspace(-3, 514, 512) + 0.3 * i for i in range(8)]).astype(np.float32)
+    src = rng.random((32, 512)).astype(np.float32)
+    pos = np.stack([np.linspace(-3, 514, 512) + 0.3 * i for i in range(32)]).astype(np.float32)
     got = np.asarray(banded_resample(jnp.asarray(src), jnp.asarray(pos), interpret=True))
     np.testing.assert_allclose(got, _full(src, pos), atol=1e-4)
 
@@ -34,14 +34,14 @@ def test_matches_full_resample_with_borders() -> None:
 def test_upscale_positions() -> None:
     """Scale < 1 (zoom-in): narrow band, exactness preserved."""
     rng = np.random.default_rng(2)
-    src = rng.random((8, 512)).astype(np.float32)
-    pos = np.stack([200 + np.linspace(0, 100, 512)] * 8).astype(np.float32)
+    src = rng.random((32, 512)).astype(np.float32)
+    pos = np.stack([200 + np.linspace(0, 100, 512)] * 32).astype(np.float32)
     got = np.asarray(banded_resample(jnp.asarray(src), jnp.asarray(pos), interpret=True))
     np.testing.assert_allclose(got, _full(src, pos), atol=1e-4)
 
 
 def test_shape_constraints_assert() -> None:
     with pytest.raises(AssertionError):
-        banded_resample(jnp.zeros((7, 512)), jnp.zeros((7, 512)), interpret=True)
+        banded_resample(jnp.zeros((31, 512)), jnp.zeros((31, 512)), interpret=True)
     with pytest.raises(AssertionError):
-        banded_resample(jnp.zeros((8, 128)), jnp.zeros((8, 128)), interpret=True)
+        banded_resample(jnp.zeros((32, 128)), jnp.zeros((32, 128)), interpret=True)
