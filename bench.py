@@ -69,35 +69,53 @@ def main() -> None:
     else:
         batch = np.random.default_rng(0).integers(0, 256, (args.batch_size, 512, 512, 3), np.uint8)
 
+    # p50 single-image latency first — this tunneled backend degrades with
+    # accumulated transfer volume within a process, so latency is measured
+    # in the cleanest state (after its own compile warmup).
+    single = batch[:1]
+    engine.process_batch(single)  # compile B=1
+    lat = []
+    for _ in range(7):
+        t = time.perf_counter()
+        engine.process_batch(single)
+        lat.append(time.perf_counter() - t)
+    p50_ms = float(np.median(lat) * 1000)
+
     # Warmup (includes compile)
     for _ in range(args.warmup):
         out = engine.run_device(batch)
     jax.block_until_ready(out)
 
-    # Throughput: full device pipeline + host FEN assembly overlap is
-    # negligible; measure the device path end-to-end including input upload.
+    # Throughput, bounded queue depth (block each iteration): the most
+    # reproducible regime on this tunneled backend — deep async queues and
+    # interleaved uploads degrade the relay. Reported e2e includes the
+    # host→device upload every iteration.
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = engine.run_device(batch)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     boards_per_sec = args.batch_size * args.iters / elapsed
 
-    # p50 single-image latency (B=1 pipeline, incl. host FEN assembly)
-    single = batch[:1]
-    engine.process_batch(single)  # compile
-    lat = []
-    for _ in range(max(3, min(20, args.iters * 2))):
-        t = time.perf_counter()
-        engine.process_batch(single)
-        lat.append(time.perf_counter() - t)
-    p50_ms = float(np.median(lat) * 1000)
+    # compute-only (device-resident input) for the same batch
+    import jax.numpy as jnp
+
+    dev_batch = jnp.asarray(batch)
+    thr = jnp.float32(0.5)
+    jax.block_until_ready(engine._jitted(engine._ex_vars, engine._cl_vars, dev_batch, thr))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = engine._jitted(engine._ex_vars, engine._cl_vars, dev_batch, thr)
+        jax.block_until_ready(out)
+    compute_elapsed = time.perf_counter() - t0
+    compute_boards_per_sec = args.batch_size * args.iters / compute_elapsed
 
     result = {
         "metric": "boards_per_sec_e2e",
         "value": round(boards_per_sec, 2),
         "unit": "boards/s",
         "vs_baseline": round(boards_per_sec / BASELINE_BOARDS_PER_SEC, 3),
+        "compute_boards_per_sec": round(compute_boards_per_sec, 2),
         "p50_latency_ms": round(p50_ms, 2),
         "batch_size": args.batch_size,
         "backend": jax.default_backend(),

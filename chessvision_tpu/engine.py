@@ -71,7 +71,6 @@ def process_images_fn(
         # 2. UNet forward (bf16 on MXU) → logits (B, 256, 256)
         seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
         probs = jax.nn.sigmoid(seg_logits)
-        binary_mask = jnp.where(probs > threshold, jnp.uint8(255), jnp.uint8(0))
 
         # 3. quadrangle extraction on device
         quad, found = find_quadrangle_batch(probs, threshold)
@@ -99,9 +98,12 @@ def process_images_fn(
             cls_probs = jax.nn.softmax(cls_out, axis=-1)
         cls_probs = cls_probs.reshape(b, 64, constants.NUM_CLASSES).astype(jnp.float32)
 
+        # NOTE: the thresholded uint8 mask is intentionally NOT a device
+        # output — it is recomputed from the logits on host.  (On the
+        # tunneled TPU backend that particular small uint8 buffer hit a
+        # pathological seconds-long D2H path, and it is host-trivial.)
         return {
             "logits": seg_logits,
-            "binary_mask": binary_mask,
             "quadrangle": quad_scaled,
             "found": found,
             "board_image": boards_u8,
@@ -195,6 +197,29 @@ class Engine:
         images = jnp.asarray(images)
         return self._jitted(self._ex_vars, self._cl_vars, images, jnp.float32(threshold))
 
+    def run_stream(self, batches, threshold: float = 0.5):
+        """Pipelined streaming inference: upload batch i+1 while batch i
+        computes (double buffering via async device_put).  Yields device
+        output dicts in order."""
+        import jax
+
+        threshold = jnp.float32(threshold)
+        it = iter(batches)
+        try:
+            current = jax.device_put(next(it))
+        except StopIteration:
+            return
+        pending = None
+        while True:
+            nxt = next(it, None)
+            if nxt is not None:
+                pending = jax.device_put(nxt)  # async H2D overlaps compute
+            out = self._jitted(self._ex_vars, self._cl_vars, current, threshold)
+            yield out
+            if nxt is None:
+                return
+            current = pending
+
     # -- host result assembly --------------------------------------------------
 
     def process_batch(
@@ -206,6 +231,10 @@ class Engine:
         """Full image→FEN over a uniform-shape batch (B, H, W, 3) uint8."""
         out = self.run_device(images, threshold)
         out = jax.tree.map(np.asarray, out)
+        # host-side threshold mask (reference utils.py:101-112 semantics)
+        with np.errstate(over="ignore"):
+            probs_mask = 1.0 / (1.0 + np.exp(-out["logits"], dtype=np.float32))
+        out["binary_mask"] = np.where(probs_mask > threshold, np.uint8(255), np.uint8(0))
 
         square_names = (
             constants.SQUARE_NAMES_FLIPPED if flip else constants.SQUARE_NAMES_NORMAL
