@@ -35,23 +35,20 @@ from chessvision_tpu.engine import Engine, validate_labels_batch
 logger = logging.getLogger(__name__)
 
 
-def _init_or_load(
-    module: Any, spec: models.ModelSpec, weights: str | None, default_weights: str
-) -> tuple[Any, str]:
-    """Load a checkpoint if present, else random-init (tests/bootstrap)."""
-    path = weights or default_weights
-    h, w = spec.input_size
-    if path and Path(path).exists():
-        variables, metadata = load_checkpoint(path)
-        logger.info("Loaded %s weights from %s (metadata: %s)", spec.model_id, path, metadata)
-        return dict(variables), path
-    logger.warning(
-        "Weights not found at %s — using random initialization for %s", path, spec.model_id
-    )
-    variables = module.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, h, w, spec.in_channels), jnp.float32)
-    )
-    return dict(variables), path
+_ARCH_KEYS = ("base", "bilinear", "width", "num_classes", "stage_sizes")
+
+
+def _arch_kwargs_from_metadata(metadata: dict) -> dict:
+    """Model-architecture kwargs recorded by the trainers
+    (training_config), so a checkpoint reconstructs the module it was
+    trained with (e.g. a base-32 UNet)."""
+    cfg = metadata.get("training_config", {}) if metadata else {}
+    return {k: cfg[k] for k in _ARCH_KEYS if k in cfg}
+
+
+def _load_variables(path: str) -> tuple[dict, dict]:
+    variables, metadata = load_checkpoint(path)
+    return dict(variables), metadata
 
 
 class ChessVision:
@@ -98,24 +95,48 @@ class ChessVision:
     # -- model lifecycle --------------------------------------------------------
 
     def _initialize_board_extractor(self) -> None:
-        module, spec = models.create_extractor(
-            self._board_extractor_model_id, dtype=self._dtype, **self._model_kwargs.get("extractor", {})
-        )
         default = (
-            constants.BEST_YOLO_EXTRACTOR if spec.model_id == "yolo" else constants.BEST_EXTRACTOR_WEIGHTS
+            constants.BEST_YOLO_EXTRACTOR
+            if self._board_extractor_model_id == "yolo"
+            else constants.BEST_EXTRACTOR_WEIGHTS
         )
-        variables, path = _init_or_load(module, spec, self._explicit_extractor_weights, default)
+        path = self._explicit_extractor_weights or default
+        kwargs = dict(self._model_kwargs.get("extractor", {}))
+        variables = None
+        if path and Path(path).exists():
+            variables, metadata = _load_variables(path)
+            kwargs = {**_arch_kwargs_from_metadata(metadata), **kwargs}
+            logger.info("Loaded extractor weights from %s", path)
+        module, spec = models.create_extractor(self._board_extractor_model_id, dtype=self._dtype, **kwargs)
+        if variables is None:
+            logger.warning("Weights not found at %s — random init for %s", path, spec.model_id)
+            h, w = spec.input_size
+            variables = dict(
+                module.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, spec.in_channels), jnp.float32))
+            )
         self._board_extractor = (module, spec, variables)
         self._board_extractor_weights = path
 
     def _initialize_classifier(self) -> None:
-        module, spec = models.create_classifier(
-            self._classifier_model_id, dtype=self._dtype, **self._model_kwargs.get("classifier", {})
-        )
         default = (
-            constants.BEST_YOLO_CLASSIFIER if spec.model_id == "yolo" else constants.BEST_CLASSIFIER_WEIGHTS
+            constants.BEST_YOLO_CLASSIFIER
+            if self._classifier_model_id == "yolo"
+            else constants.BEST_CLASSIFIER_WEIGHTS
         )
-        variables, path = _init_or_load(module, spec, self._explicit_classifier_weights, default)
+        path = self._explicit_classifier_weights or default
+        kwargs = dict(self._model_kwargs.get("classifier", {}))
+        variables = None
+        if path and Path(path).exists():
+            variables, metadata = _load_variables(path)
+            kwargs = {**_arch_kwargs_from_metadata(metadata), **kwargs}
+            logger.info("Loaded classifier weights from %s", path)
+        module, spec = models.create_classifier(self._classifier_model_id, dtype=self._dtype, **kwargs)
+        if variables is None:
+            logger.warning("Weights not found at %s — random init for %s", path, spec.model_id)
+            h, w = spec.input_size
+            variables = dict(
+                module.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, spec.in_channels), jnp.float32))
+            )
         self._classifier = (module, spec, variables)
         self._classifier_model_id = spec.model_id
         self._classifier_weights = path

@@ -157,6 +157,8 @@ def train_model(
         "learning_rate": learning_rate,
         "run_name": run.name,
     }
+    if width:
+        training_config["width"] = width
     weights = None
     if use_sample_weights:
         # inverse class frequency
