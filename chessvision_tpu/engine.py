@@ -113,6 +113,77 @@ def process_images_fn(
     return fn
 
 
+def process_packed_fn(
+    extractor: Any,
+    classifier: Any,
+    classifier_outputs_probabilities: bool,
+) -> Any:
+    """IO-optimized variant: takes host-prepared inputs — the 256×256×3
+    resized image (for segmentation) and the 512×512 grayscale (for
+    warping/classification) — 1.7× fewer host→device bytes than raw
+    512×512×3 frames.  Host prep (exact INTER_AREA + fixed-point
+    grayscale) comes from the native cvloader / ops parity
+    implementations, so results match the all-device path to ±1 gray
+    level.  Useful when host→device bandwidth, not compute, bounds
+    throughput (e.g. 100 MB/s tunneled links)."""
+
+    def fn(
+        extractor_vars: Any,
+        classifier_vars: Any,
+        comp: jnp.ndarray,  # (B, 256, 256, 3) uint8 BGR, already resized
+        gray: jnp.ndarray,  # (B, H, W) uint8 grayscale full-res
+        threshold: jnp.ndarray,
+    ) -> dict[str, jnp.ndarray]:
+        b, h, w = gray.shape
+        x = comp.astype(jnp.float32) / 255.0
+        seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
+        probs = jax.nn.sigmoid(seg_logits)
+        quad, found = find_quadrangle_batch(probs, threshold)
+        quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
+        safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
+        ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(safe_quad)
+        boards = warp_perspective(gray.astype(jnp.float32), ms, constants.BOARD_SIZE)
+        boards = hflip(boards)
+        boards_u8 = jnp.clip(jnp.floor(boards + 0.5), 0, 255).astype(jnp.uint8)
+        squares = extract_squares_batch(boards)
+        cls_in = squares.reshape(b * 64, *constants.PIECE_SIZE, 1) / 255.0
+        cls_out = classifier.apply(classifier_vars, cls_in)
+        cls_probs = cls_out if classifier_outputs_probabilities else jax.nn.softmax(cls_out, axis=-1)
+        return {
+            "logits": seg_logits,
+            "quadrangle": quad_scaled,
+            "found": found,
+            "board_image": boards_u8,
+            "probabilities": cls_probs.reshape(b, 64, constants.NUM_CLASSES).astype(jnp.float32),
+        }
+
+    return fn
+
+
+def pack_inputs(images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side input packing for the packed engine path: exact
+    INTER_AREA 256×256 resize + fixed-point grayscale (cv2 when present,
+    else the numpy parity path)."""
+    try:
+        import cv2
+
+        comp = np.stack(
+            [cv2.resize(im, constants.INPUT_SIZE, interpolation=cv2.INTER_AREA) for im in images]
+        )
+        gray = np.stack([cv2.cvtColor(im, cv2.COLOR_BGR2GRAY) for im in images])
+        return comp, gray
+    except ImportError:
+        b = images.astype(np.int32)
+        gray = ((b[..., 2] * 9798 + b[..., 1] * 19235 + b[..., 0] * 3735 + (1 << 14)) >> 15).astype(
+            np.uint8
+        )
+        # simple 2x2 mean for the canonical 512→256 case
+        h, w = images.shape[1:3]
+        comp = images.reshape(len(images), h // 2, 2, w // 2, 2, 3).mean((2, 4))
+        comp = np.floor(comp + 0.5).astype(np.uint8)
+        return comp, gray
+
+
 def validate_labels_batch(
     probabilities: np.ndarray,  # (B, 64, 13)
     square_names: list[str],
@@ -182,7 +253,29 @@ class Engine:
         else:
             self._ex_vars = extractor_vars
             self._cl_vars = classifier_vars
-        self._jitted = jax.jit(self._fn)
+        # Close over the variables instead of passing them as call
+        # arguments: on the tunneled backend, staging the ~10⁷-leaf f32
+        # parameter tree per call cost ~1.5 s; baked as compile-time
+        # constants the same program executes in tens of ms.
+        ex_vars, cl_vars = self._ex_vars, self._cl_vars
+        fn = self._fn
+        self._jitted_closed = jax.jit(lambda images, thr: fn(ex_vars, cl_vars, images, thr))
+        self._extractor = extractor
+        self._classifier = classifier
+        self._cls_probs_flag = classifier_outputs_probabilities
+        self._jitted_packed = None
+
+    def run_packed(self, comp: Any, gray: Any, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
+        """Run the IO-optimized packed-input pipeline (see
+        process_packed_fn); inputs from ``pack_inputs`` or the native
+        loader."""
+        if self._jitted_packed is None:
+            fn = process_packed_fn(self._extractor, self._classifier, self._cls_probs_flag)
+            ex_vars, cl_vars = self._ex_vars, self._cl_vars
+            self._jitted_packed = jax.jit(
+                lambda c, g, t: fn(ex_vars, cl_vars, c, g, t)
+            )
+        return self._jitted_packed(jnp.asarray(comp), jnp.asarray(gray), jnp.float32(threshold))
 
     # -- device path ---------------------------------------------------------
 
@@ -192,10 +285,10 @@ class Engine:
             n = self.mesh.size
             images, orig = mesh_lib.pad_to_multiple(np.asarray(images), n)
             images = jax.device_put(images, mesh_lib.data_sharding(self.mesh, 4))
-            out = self._jitted(self._ex_vars, self._cl_vars, images, jnp.float32(threshold))
+            out = self._jitted_closed(images, jnp.float32(threshold))
             return {k: v[:orig] for k, v in out.items()}
         images = jnp.asarray(images)
-        return self._jitted(self._ex_vars, self._cl_vars, images, jnp.float32(threshold))
+        return self._jitted_closed(images, jnp.float32(threshold))
 
     def run_stream(self, batches, threshold: float = 0.5):
         """Pipelined streaming inference: upload batch i+1 while batch i
@@ -214,7 +307,7 @@ class Engine:
             nxt = next(it, None)
             if nxt is not None:
                 pending = jax.device_put(nxt)  # async H2D overlaps compute
-            out = self._jitted(self._ex_vars, self._cl_vars, current, threshold)
+            out = self._jitted_closed(current, threshold)
             yield out
             if nxt is None:
                 return
