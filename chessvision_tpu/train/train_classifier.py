@@ -52,6 +52,7 @@ def train_model(
     width: int | None = None,
     lr_step_size: int = LR_SCHEDULER_STEP_SIZE,
     lr_gamma: float = LR_SCHEDULER_GAMMA,
+    resume: str | None = None,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -115,6 +116,29 @@ def train_model(
         batch_stats=variables["batch_stats"],
         tx=tx,
     )
+
+    start_epoch = 1
+    if resume:
+        # real resume (the reference's --resume flag is unwired,
+        # train_classifier.py:349): params + BN stats + optimizer state +
+        # epoch come back from the checkpoint
+        from chessvision_tpu.checkpoint import load_checkpoint as _load
+        from chessvision_tpu.checkpoint import load_opt_state_leaves
+
+        loaded, res_meta = _load(resume)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, loaded["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, loaded["batch_stats"]),
+        )
+        leaves = load_opt_state_leaves(loaded)
+        if leaves is not None:
+            treedef = jax.tree.structure(state.opt_state)
+            state = state.replace(
+                opt_state=jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
+            )
+        start_epoch = int(res_meta.get("epoch", 0)) + 1
+        logger.info("Resumed from %s at epoch %d", resume, start_epoch)
+
     if mesh is not None:
         state = jax.device_put(state, replicate(mesh))
 
@@ -170,7 +194,7 @@ def train_model(
     start_time = time.time()
     final_epoch = 0
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         final_epoch = epoch
         epoch_loss, correct_sum, seen = 0.0, 0.0, 0
         for idx in data_lib.batches(n_train, batch_size, rng=rng_np, weights=weights, drop_last=True):
@@ -212,6 +236,7 @@ def train_model(
                     "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
                 },
                 {"best_val_score": best_val_acc, "epoch": epoch, "training_config": training_config},
+                opt_state=jax.tree.map(np.asarray, state.opt_state),
             )
             logger.info("Checkpoint %d saved (val acc %.4f)", epoch, best_val_acc)
         else:
@@ -273,6 +298,7 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--lr-step-size", type=int, default=LR_SCHEDULER_STEP_SIZE)
     parser.add_argument("--lr-gamma", type=float, default=LR_SCHEDULER_GAMMA)
+    parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     parser.add_argument("--promote", action="store_true")
     return parser.parse_args()
 
@@ -295,6 +321,7 @@ def main() -> None:
         width=args.width,
         lr_step_size=args.lr_step_size,
         lr_gamma=args.lr_gamma,
+        resume=args.resume,
     )
     from pathlib import Path
 

@@ -53,6 +53,7 @@ def train_model(
     use_mesh: bool = True,
     model_id: str = "unet",
     optimizer: str = "rmsprop",
+    resume: str | None = None,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -129,6 +130,26 @@ def train_model(
         batch_stats=variables["batch_stats"],
         tx=make_tx(learning_rate),
     )
+
+    start_epoch = 1
+    if resume:
+        from chessvision_tpu.checkpoint import load_checkpoint as _load
+        from chessvision_tpu.checkpoint import load_opt_state_leaves
+
+        loaded, res_meta = _load(resume)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, loaded["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, loaded["batch_stats"]),
+        )
+        leaves = load_opt_state_leaves(loaded)
+        if leaves is not None:
+            treedef = jax.tree.structure(state.opt_state)
+            state = state.replace(
+                opt_state=jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
+            )
+        start_epoch = int(res_meta.get("epoch", 0)) + 1
+        logger.info("Resumed from %s at epoch %d", resume, start_epoch)
+
     if mesh is not None:
         state = jax.device_put(state, replicate(mesh))
 
@@ -206,7 +227,7 @@ def train_model(
     start_time = time.time()
     final_epoch = 0
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         final_epoch = epoch
         epoch_loss = 0.0
         for i, idx in enumerate(
@@ -247,6 +268,7 @@ def train_model(
                     "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
                 },
                 {"best_val_score": best_val_score, "epoch": epoch, "training_config": training_config},
+                opt_state=jax.tree.map(np.asarray, state.opt_state),
             )
             logger.info("Checkpoint %d saved (dice %.4f)", epoch, best_val_score)
         else:
@@ -310,6 +332,7 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--no-augment", action="store_true", default=False)
     parser.add_argument("--model-id", type=str, default="unet", help="unet or yolo")
     parser.add_argument("--optimizer", type=str, default="rmsprop", choices=["rmsprop", "adam"])
+    parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     parser.add_argument("--promote", action="store_true", help="copy best checkpoint to weights/")
     return parser.parse_args()
 
@@ -333,6 +356,7 @@ def main() -> None:
         base=args.base,
         model_id=args.model_id,
         optimizer=args.optimizer,
+        resume=args.resume,
     )
     from pathlib import Path
 
