@@ -35,15 +35,23 @@ from chessvision_tpu.engine import Engine, validate_labels_batch
 logger = logging.getLogger(__name__)
 
 
-_ARCH_KEYS = ("base", "bilinear", "width", "num_classes", "stage_sizes")
+# architecture kwargs each model builder accepts — training_config records
+# a superset (e.g. the seg trainer always logs base/bilinear even for the
+# yolo slot), so filter per model id
+_ARCH_KEYS_BY_MODEL = {
+    "unet": ("base", "bilinear"),
+    "yolo": ("width",),
+    "resnet18": ("width", "num_classes"),
+}
 
 
-def _arch_kwargs_from_metadata(metadata: dict) -> dict:
+def _arch_kwargs_from_metadata(metadata: dict, model_id: str) -> dict:
     """Model-architecture kwargs recorded by the trainers
     (training_config), so a checkpoint reconstructs the module it was
     trained with (e.g. a base-32 UNet)."""
     cfg = metadata.get("training_config", {}) if metadata else {}
-    return {k: cfg[k] for k in _ARCH_KEYS if k in cfg}
+    allowed = _ARCH_KEYS_BY_MODEL.get(model_id, ())
+    return {k: cfg[k] for k in allowed if k in cfg}
 
 
 def _load_variables(path: str) -> tuple[dict, dict]:
@@ -105,7 +113,8 @@ class ChessVision:
         variables = None
         if path and Path(path).exists():
             variables, metadata = _load_variables(path)
-            kwargs = {**_arch_kwargs_from_metadata(metadata), **kwargs}
+            model_id = self._board_extractor_model_id or "unet"
+            kwargs = {**_arch_kwargs_from_metadata(metadata, model_id), **kwargs}
             logger.info("Loaded extractor weights from %s", path)
         module, spec = models.create_extractor(self._board_extractor_model_id, dtype=self._dtype, **kwargs)
         if variables is None:
@@ -128,7 +137,8 @@ class ChessVision:
         variables = None
         if path and Path(path).exists():
             variables, metadata = _load_variables(path)
-            kwargs = {**_arch_kwargs_from_metadata(metadata), **kwargs}
+            model_id = self._classifier_model_id or "resnet18"
+            kwargs = {**_arch_kwargs_from_metadata(metadata, model_id), **kwargs}
             logger.info("Loaded classifier weights from %s", path)
         module, spec = models.create_classifier(self._classifier_model_id, dtype=self._dtype, **kwargs)
         if variables is None:

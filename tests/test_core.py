@@ -20,9 +20,14 @@ SMALL = {"extractor": {"width": 8}, "classifier": {"width": 8}}
 
 
 @pytest.fixture(scope="module")
-def cv_model() -> ChessVision:
+def cv_model(tmp_path_factory) -> ChessVision:
+    # explicit nonexistent weight paths force random init regardless of
+    # what trained weights are present in weights/
+    missing = str(tmp_path_factory.mktemp("w") / "none.npz")
     return ChessVision(
+        board_extractor_weights=missing,
         board_extractor_model_id="yolo",
+        classifier_weights=missing,
         classifier_model_id="yolo",
         dtype=jnp.float32,
         model_kwargs=SMALL,
