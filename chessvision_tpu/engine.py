@@ -17,7 +17,6 @@ Only FEN string assembly and the rule-based validation happen on host
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

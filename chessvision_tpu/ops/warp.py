@@ -110,7 +110,6 @@ def _warp_batched(imgs: jnp.ndarray, ms: jnp.ndarray, out_h: int, out_w: int) ->
     flat = imgs.reshape(b, src_h * src_w)
     n = out_h * out_w
 
-    taps = []
     weights = [
         ((0, 0), (1.0 - fx) * (1.0 - fy)),
         ((0, 1), fx * (1.0 - fy)),

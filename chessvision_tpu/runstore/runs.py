@@ -15,7 +15,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
-from pathlib import Path
+
 from typing import Any
 
 import numpy as np

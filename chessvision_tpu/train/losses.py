@@ -9,6 +9,7 @@ reduce_batch_first=False)``) — and the classifier's cross entropy
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -60,6 +61,13 @@ def segmentation_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     return bce_with_logits(logits, targets) + dice_loss(jax.nn.sigmoid(logits), targets)
 
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean softmax cross entropy with integer labels."""
+def cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, label_smoothing: float = 0.0
+) -> jnp.ndarray:
+    """Mean softmax cross entropy with integer labels, optional smoothing."""
+    if label_smoothing > 0.0:
+        n = logits.shape[-1]
+        one_hot = jax.nn.one_hot(labels, n)
+        targets = one_hot * (1.0 - label_smoothing) + label_smoothing / n
+        return optax.softmax_cross_entropy(logits, targets).mean()
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()

@@ -132,8 +132,8 @@ def make_seg_eval_step() -> Callable:
     return jax.jit(step)
 
 
-def make_cls_train_step(mesh=None) -> Callable:
-    """Classifier train step: cross entropy + top-1 accuracy."""
+def make_cls_train_step(mesh=None, label_smoothing: float = 0.0) -> Callable:
+    """Classifier train step: cross entropy (optional smoothing) + top-1."""
 
     def step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
         def loss_fn(params):
@@ -143,7 +143,7 @@ def make_cls_train_step(mesh=None) -> Callable:
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss = losses.cross_entropy(logits, labels)
+            loss = losses.cross_entropy(logits, labels, label_smoothing)
             return loss, (updates["batch_stats"], logits)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

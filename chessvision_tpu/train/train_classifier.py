@@ -53,6 +53,7 @@ def train_model(
     lr_step_size: int = LR_SCHEDULER_STEP_SIZE,
     lr_gamma: float = LR_SCHEDULER_GAMMA,
     resume: str | None = None,
+    label_smoothing: float = 0.0,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -142,7 +143,7 @@ def train_model(
     if mesh is not None:
         state = jax.device_put(state, replicate(mesh))
 
-    train_step = make_cls_train_step(mesh)
+    train_step = make_cls_train_step(mesh, label_smoothing=label_smoothing)
     eval_step = make_cls_eval_step()
 
     @jax.jit
@@ -310,6 +311,7 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--lr-step-size", type=int, default=LR_SCHEDULER_STEP_SIZE)
     parser.add_argument("--lr-gamma", type=float, default=LR_SCHEDULER_GAMMA)
     parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
+    parser.add_argument("--label-smoothing", type=float, default=0.0)
     parser.add_argument("--promote", action="store_true")
     return parser.parse_args()
 
@@ -333,6 +335,7 @@ def main() -> None:
         lr_step_size=args.lr_step_size,
         lr_gamma=args.lr_gamma,
         resume=args.resume,
+        label_smoothing=args.label_smoothing,
     )
     from pathlib import Path
 
