@@ -39,9 +39,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Number of support directions for hull sampling.  128 gives 2.8° angular
-# resolution — ample for locating 4 dominant corners of a board blob.
-NUM_DIRECTIONS = 128
+# Number of support directions for hull sampling.  64 (5.6° resolution)
+# reproduces the cv2 oracle's corners EXACTLY on all 631 fixture masks
+# (corner positions come from the support argmax, not the angular grid)
+# while halving the serial decimation chain (60 steps).
+NUM_DIRECTIONS = 64
 
 # Rounds of row+column reachability propagation.  Convex blobs need 2;
 # a third round absorbs ragged/noisy boundaries (validated against the
