@@ -5,6 +5,11 @@ shapes/ranges, the extracted quadrangle, and top-3 predictions for a few
 squares — but stages here come from one fused batched device program.
 """
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 from pathlib import Path
 
 import cv2

@@ -3,6 +3,11 @@
 The equivalent of the reference's examples/quickstart-example.ipynb.
 """
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 from pathlib import Path
 
 import cv2
