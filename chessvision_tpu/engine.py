@@ -263,6 +263,16 @@ class Engine:
         self._classifier = classifier
         self._cls_probs_flag = classifier_outputs_probabilities
         self._jitted_packed = None
+        # lite program: only the small outputs (found/quad/probabilities) —
+        # for latency-sensitive serving, where shipping the board/logits
+        # buffers D2H dominates B=1 time
+        self._jitted_lite = jax.jit(
+            lambda images, thr: {
+                k: v
+                for k, v in fn(ex_vars, cl_vars, images, thr).items()
+                if k in ("found", "quadrangle", "probabilities")
+            }
+        )
 
     def run_packed(self, comp: Any, gray: Any, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
         """Run the IO-optimized packed-input pipeline (see
@@ -319,14 +329,28 @@ class Engine:
         images: np.ndarray,
         threshold: float = 0.5,
         flip: bool = False,
+        lite: bool = False,
     ) -> BatchResult:
-        """Full image→FEN over a uniform-shape batch (B, H, W, 3) uint8."""
-        out = self.run_device(images, threshold)
-        out = jax.tree.map(np.asarray, out)
-        # host-side threshold mask (reference utils.py:101-112 semantics)
-        with np.errstate(over="ignore"):
-            probs_mask = 1.0 / (1.0 + np.exp(-out["logits"], dtype=np.float32))
-        out["binary_mask"] = np.where(probs_mask > threshold, np.uint8(255), np.uint8(0))
+        """Full image→FEN over a uniform-shape batch (B, H, W, 3) uint8.
+
+        ``lite=True`` skips the board/mask/logits outputs (FEN +
+        probabilities + quadrangle only) — roughly 3× lower single-image
+        latency for serving, where those buffers' D2H transfers dominate.
+        """
+        if lite and self.mesh is None:
+            out = self._jitted_lite(jnp.asarray(images), jnp.float32(threshold))
+            out = jax.tree.map(np.asarray, out)
+            b = images.shape[0]
+            out["logits"] = np.zeros((b, 0, 0), np.float32)
+            out["binary_mask"] = np.zeros((b, 0, 0), np.uint8)
+            out["board_image"] = np.zeros((b, 0, 0), np.uint8)
+        else:
+            out = self.run_device(images, threshold)
+            out = jax.tree.map(np.asarray, out)
+            # host-side threshold mask (reference utils.py:101-112 semantics)
+            with np.errstate(over="ignore"):
+                probs_mask = 1.0 / (1.0 + np.exp(-out["logits"], dtype=np.float32))
+            out["binary_mask"] = np.where(probs_mask > threshold, np.uint8(255), np.uint8(0))
 
         square_names = (
             constants.SQUARE_NAMES_FLIPPED if flip else constants.SQUARE_NAMES_NORMAL

@@ -250,6 +250,65 @@ def evaluate_model(
     return aggregates
 
 
+def evaluate_segmentation(
+    *,
+    run=None,
+    threshold: float = 0.5,
+    board_extractor_weights: str | None = None,
+    board_extractor_model_id: str | None = None,
+    batch_size: int = 16,
+    cv_model=None,
+) -> dict:
+    """Segmentation-stage metrics on the board_extraction val split: mean
+    dice and IoU of the thresholded mask vs ground truth, through the
+    engine's extractor (the BASELINE 'mask IoU parity' metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chessvision_tpu import runstore
+    from chessvision_tpu.core import ChessVision
+    from chessvision_tpu.train import data as data_lib
+
+    if cv_model is None:
+        cv_model = ChessVision(
+            board_extractor_weights=board_extractor_weights,
+            board_extractor_model_id=board_extractor_model_id,
+        )
+    ex_mod, _, ex_vars = cv_model.board_extractor
+
+    data = data_lib.load_board_extraction()
+
+    @jax.jit
+    def seg_forward(imgs: jnp.ndarray) -> jnp.ndarray:
+        return ex_mod.apply(ex_vars, imgs)[..., 0]
+
+    dices, ious = [], []
+    n = len(data.val_images)
+    for start in range(0, n, batch_size):
+        imgs = jnp.asarray(data.val_images[start : start + batch_size], jnp.float32) / 255.0
+        masks = data.val_masks[start : start + batch_size]
+        logits = np.asarray(seg_forward(imgs))
+        pred = (1.0 / (1.0 + np.exp(-logits)) > threshold).astype(np.float32)
+        inter = (pred * masks).sum(axis=(1, 2))
+        union = np.maximum(pred, masks).sum(axis=(1, 2))
+        sets = pred.sum(axis=(1, 2)) + masks.sum(axis=(1, 2))
+        dices.extend((2 * inter + 1e-6) / (sets + 1e-6))
+        ious.extend(np.where(union > 0, inter / np.maximum(union, 1e-9), 1.0))
+
+    result = {
+        "val_mask_dice": float(np.mean(dices)),
+        "val_mask_iou": float(np.mean(ious)),
+        "num_images": n,
+        "threshold": threshold,
+    }
+    if run is None:
+        run = runstore.init("chessvision-testing")
+    run.set_parameters({"segmentation_results": result})
+    run.set_status_completed()
+    logger.info("Segmentation eval: %s", result)
+    return result
+
+
 def main() -> None:
     from chessvision_tpu.utils import setup_logger
 
@@ -263,8 +322,19 @@ def main() -> None:
     parser.add_argument("--save-artifacts", action="store_true")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--seg-metrics", action="store_true", help="segmentation dice/IoU only")
     args = parser.parse_args()
     setup_logger("chessvision_tpu")
+    if args.seg_metrics:
+        import json
+
+        result = evaluate_segmentation(
+            threshold=args.threshold,
+            board_extractor_weights=args.board_extractor_weights,
+            board_extractor_model_id=args.board_extractor_model_id,
+        )
+        print(json.dumps(result, indent=2))
+        return
     result = evaluate_model(
         threshold=args.threshold,
         board_extractor_weights=args.board_extractor_weights,
