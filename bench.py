@@ -38,16 +38,10 @@ def main() -> None:
 
     from chessvision_tpu import ChessVision, constants
 
-    model_kwargs = {}
-    if args.quick:
-        model_kwargs = {"extractor": {"base": 8} if not args.extractor else {"width": 8},
-                        "classifier": {"width": 8} if args.classifier == "yolo" else {}}
-
     cv = ChessVision(
         board_extractor_model_id=args.extractor,
         classifier_model_id=args.classifier,
         lazy_load=False,
-        model_kwargs=model_kwargs,
     )
     engine = cv.engine
 
