@@ -59,6 +59,28 @@ def fen_2_json(fen: str) -> dict[str, str]:
     return out
 
 
+def init_uploads_folder(root: str | Path) -> Path:
+    """Create the uploads tree incl. the 13 per-class square dirs (the
+    reference's make_uploads_folder.sh; '_x' naming for black pieces to
+    survive case-insensitive filesystems, cv_endpoint.py:33-35)."""
+    root = Path(root)
+    for sub in ("raw", "boards", "feedback"):
+        (root / sub).mkdir(parents=True, exist_ok=True)
+    for label in ("B", "K", "N", "P", "Q", "R", "_b", "_k", "_n", "_p", "_q", "_r", "f"):
+        (root / "squares" / label).mkdir(parents=True, exist_ok=True)
+    return root
+
+
+def clean_uploads_folder(root: str | Path) -> None:
+    """Purge and recreate the uploads tree (clean_uploads_folder.sh)."""
+    import shutil
+
+    root = Path(root)
+    if root.exists():
+        shutil.rmtree(root)
+    init_uploads_folder(root)
+
+
 class ChessVisionService:
     """Holds the model + persistence dirs; handler delegates here."""
 
@@ -72,8 +94,7 @@ class ChessVisionService:
             cv_model = ChessVision(lazy_load=False)
         self.cv = cv_model
         self.upload_root = Path(upload_root or "user_uploads")
-        for sub in ("raw", "boards", "feedback"):
-            (self.upload_root / sub).mkdir(parents=True, exist_ok=True)
+        init_uploads_folder(self.upload_root)
 
     # -- request handlers ------------------------------------------------------
 
@@ -261,8 +282,13 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=int(os.getenv("PORT", "7777")))
     parser.add_argument("--local", action="store_true", default=bool(os.getenv("LOCAL")))
     parser.add_argument("--upload-root", type=str, default=None)
+    parser.add_argument("--clean-uploads", action="store_true", help="purge + recreate the uploads tree and exit")
     args = parser.parse_args()
     setup_logger("chessvision_tpu")
+    if args.clean_uploads:
+        clean_uploads_folder(args.upload_root or "user_uploads")
+        print("uploads folder reset")
+        return
     server = serve(port=args.port, local=args.local, upload_root=args.upload_root)
     server.serve_forever()
 
