@@ -103,6 +103,10 @@ def plot_sweep(project: str, sweep_id: int | None = None, out_path: str | None =
     data = np.array(
         [[float(r[d]) if r[d] is not None else np.nan for d in dims] for r in rows], float
     )
+    # drop dimensions absent from this sweep (e.g. threshold for classifiers)
+    keep = [i for i in range(len(dims)) if not np.isnan(data[:, i]).all()]
+    dims = [dims[i] for i in keep]
+    data = data[:, keep]
     mins = np.nanmin(data, axis=0)
     maxs = np.nanmax(data, axis=0)
     span = np.where(maxs - mins == 0, 1, maxs - mins)
