@@ -176,9 +176,17 @@ def pack_inputs(images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         gray = ((b[..., 2] * 9798 + b[..., 1] * 19235 + b[..., 0] * 3735 + (1 << 14)) >> 15).astype(
             np.uint8
         )
-        # simple 2x2 mean for the canonical 512→256 case
+        # integer-factor area mean (exact INTER_AREA for divisible sizes);
+        # fail loudly on non-divisible frames rather than emit wrong geometry
         h, w = images.shape[1:3]
-        comp = images.reshape(len(images), h // 2, 2, w // 2, 2, 3).mean((2, 4))
+        tw, th = constants.INPUT_SIZE
+        if h % th or w % tw:
+            raise ValueError(
+                f"pack_inputs numpy fallback needs frame dims divisible by "
+                f"{constants.INPUT_SIZE}; got {(h, w)} — install cv2 or resize on host first"
+            )
+        fh, fw = h // th, w // tw
+        comp = images.reshape(len(images), th, fh, tw, fw, 3).mean((2, 4))
         comp = np.floor(comp + 0.5).astype(np.uint8)
         return comp, gray
 

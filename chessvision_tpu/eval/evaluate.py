@@ -152,7 +152,11 @@ def evaluate_model(
 
     images = np.stack(
         [
-            im if im.shape[:2] == (image_size, image_size) else cv2.resize(im, (image_size, image_size))
+            im
+            if im.shape[:2] == (image_size, image_size)
+            # INTER_AREA to match the engine's resize semantics
+            # (reference core.py:212)
+            else cv2.resize(im, (image_size, image_size), interpolation=cv2.INTER_AREA)
             for im, _, _ in items
         ]
     )

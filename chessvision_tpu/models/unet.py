@@ -15,6 +15,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -44,11 +45,33 @@ class Down(nn.Module):
         return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train)
 
 
+def _align_corners_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix with torch align_corners=True
+    semantics: output i samples input coordinate i*(n_in-1)/(n_out-1)."""
+    w = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1:
+        w[:, 0] = 1.0
+        return w
+    coords = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.minimum(coords.astype(np.int64), n_in - 2)
+    frac = (coords - lo).astype(np.float32)
+    w[np.arange(n_out), lo] = 1.0 - frac
+    w[np.arange(n_out), lo + 1] = frac
+    return w
+
+
 def _bilinear_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2× bilinear upsampling with align_corners=True (torch Upsample
-    semantics used by the reference's bilinear variant)."""
+    """2× bilinear upsampling with align_corners=True (torch ``Upsample``
+    semantics used by the reference's bilinear UNet variant,
+    reference train_unet.py:461-465).  Separable 1-D interpolation
+    expressed as two small matmuls (MXU-friendly; static shapes), since
+    jax.image.resize(method='linear') uses half-pixel centers
+    (align_corners=False) and diverges from torch near the edges."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
+    wh = jnp.asarray(_align_corners_weights(h, 2 * h), x.dtype)
+    ww = jnp.asarray(_align_corners_weights(w, 2 * w), x.dtype)
+    x = jnp.einsum("Hh,bhwc->bHwc", wh, x)
+    return jnp.einsum("Ww,bhwc->bhWc", ww, x)
 
 
 class Up(nn.Module):

@@ -179,12 +179,15 @@ class ChessVisionService:
         if not payload.get("id") or "position" not in payload:
             return 400, {"success": False, "error": "Missing id or position"}
         entry = {
-            "id": payload["id"],
+            "id": str(payload["id"]),
             "position": payload["position"],
             "flip": payload.get("flip", False),
             "timestamp": datetime.datetime.now().isoformat(),
         }
-        path = self.upload_root / "feedback" / f"{payload['id']}.json"
+        # Server-generated filename: the client id is stored INSIDE the JSON,
+        # never used as a path component (the reference names feedback files
+        # with a server-side uuid4 for the same reason — cv_endpoint.py:254-295).
+        path = self.upload_root / "feedback" / f"{uuid.uuid4().hex}.json"
         path.write_text(json.dumps(entry, indent=2))
         return 200, {"success": True}
 

@@ -18,6 +18,8 @@ defaults to nearest (training-time noise; parity is statistical).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -150,7 +152,7 @@ def augment_segmentation_batch(key: jax.Array, images: jnp.ndarray, masks: jnp.n
     return images, masks
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("photometric",))
 def augment_classification_batch(
     key: jax.Array, images: jnp.ndarray, photometric: bool = True
 ) -> jnp.ndarray:
