@@ -60,56 +60,74 @@ def process_images_fn(
         images: jnp.ndarray,  # (B, H, W, 3) uint8, BGR
         threshold: jnp.ndarray,  # scalar f32
     ) -> dict[str, jnp.ndarray]:
-        b, h, w, _ = images.shape
-
-        # 1. area-resize to the segmentation input size (two matmuls), with
-        #    the reference's exact uint8 round-trip before normalization
-        comp = resize(images, constants.INPUT_SIZE, round_uint8=True)
-        x = comp.astype(jnp.float32) / 255.0
-
-        # 2. UNet forward (bf16 on MXU) → logits (B, 256, 256)
-        seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
-        probs = jax.nn.sigmoid(seg_logits)
-
-        # 3. quadrangle extraction on device
-        quad, found = find_quadrangle_batch(probs, threshold)
-        quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
-
-        # 4. homography + warp + grayscale + horizontal flip.
-        #    Grayscale commutes with the (linear) bilinear warp, so convert
-        #    first and warp a single channel — 3× fewer gathers than the
-        #    reference's warp-then-convert order, numerically identical in
-        #    f32 (reference core.py:298-300).
-        safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
-        ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(safe_quad)
-        gray = bgr_to_gray(images.astype(jnp.float32))
-        boards = warp_perspective(gray, ms, constants.BOARD_SIZE)  # (B, 512, 512) f32
-        boards = hflip(boards)
-        boards_u8 = jnp.clip(jnp.floor(boards + 0.5), 0, 255).astype(jnp.uint8)
-
-        # 5. 8×8 slicing + batched 64-square classification
-        squares = extract_squares_batch(boards)  # (B, 64, 64, 64, 1) f32
-        cls_in = squares.reshape(b * 64, *constants.PIECE_SIZE, 1) / 255.0
-        cls_out = classifier.apply(classifier_vars, cls_in)
-        if classifier_outputs_probabilities:
-            cls_probs = cls_out
-        else:
-            cls_probs = jax.nn.softmax(cls_out, axis=-1)
-        cls_probs = cls_probs.reshape(b, 64, constants.NUM_CLASSES).astype(jnp.float32)
-
-        # NOTE: the thresholded uint8 mask is intentionally NOT a device
-        # output — it is recomputed from the logits on host.  (On the
-        # tunneled TPU backend that particular small uint8 buffer hit a
-        # pathological seconds-long D2H path, and it is host-trivial.)
-        return {
-            "logits": seg_logits,
-            "quadrangle": quad_scaled,
-            "found": found,
-            "board_image": boards_u8,
-            "probabilities": cls_probs,
-        }
+        comp, gray = preprocess_images(images)
+        return _pipeline_core(
+            extractor,
+            classifier,
+            classifier_outputs_probabilities,
+            extractor_vars,
+            classifier_vars,
+            comp.astype(jnp.float32),
+            gray.astype(jnp.float32),
+            threshold,
+        )
 
     return fn
+
+
+def preprocess_images(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side front half: uint8 frames → (comp, gray), both uint8.
+
+    - comp: exact INTER_AREA resize to the segmentation input size (two
+      HIGHEST-precision matmuls; bit-equal to cv2, reference core.py:212).
+    - gray: exact fixed-point BGR→grayscale (bit-equal to cv2.cvtColor,
+      reference core.py:299).  Grayscale commutes with the (linear)
+      bilinear warp, so converting first and warping one channel is 3×
+      fewer samples than the reference's warp-then-convert order.
+
+    The outputs feed the same compiled back half the host-packed paths use
+    (``process_packed_fn``), so raw-frame and packed inference produce
+    bit-identical results."""
+    comp = resize(images, constants.INPUT_SIZE, round_uint8=True)
+    gray = bgr_to_gray(images, exact_u8=True)
+    return comp, gray
+
+
+def _pipeline_core(
+    extractor: Any,
+    classifier: Any,
+    classifier_outputs_probabilities: bool,
+    extractor_vars: Any,
+    classifier_vars: Any,
+    comp_f32: jnp.ndarray,  # (B, 256, 256, 3) f32 in [0, 255], BGR
+    gray: jnp.ndarray,  # (B, H, W) f32 grayscale full-res
+    threshold: jnp.ndarray,
+) -> dict[str, jnp.ndarray]:
+    """Shared back half of every packed pipeline variant: segmentation →
+    quadrangle → warp → slice → classify, from a prepared seg input and a
+    full-res grayscale."""
+    b, h, w = gray.shape
+    x = comp_f32 / 255.0
+    seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
+    probs = jax.nn.sigmoid(seg_logits)
+    quad, found = find_quadrangle_batch(probs, threshold)
+    quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
+    safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
+    ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(safe_quad)
+    boards = warp_perspective(gray, ms, constants.BOARD_SIZE)
+    boards = hflip(boards)
+    boards_u8 = jnp.clip(jnp.floor(boards + 0.5), 0, 255).astype(jnp.uint8)
+    squares = extract_squares_batch(boards)
+    cls_in = squares.reshape(b * 64, *constants.PIECE_SIZE, 1) / 255.0
+    cls_out = classifier.apply(classifier_vars, cls_in)
+    cls_probs = cls_out if classifier_outputs_probabilities else jax.nn.softmax(cls_out, axis=-1)
+    return {
+        "logits": seg_logits,
+        "quadrangle": quad_scaled,
+        "found": found,
+        "board_image": boards_u8,
+        "probabilities": cls_probs.reshape(b, 64, constants.NUM_CLASSES).astype(jnp.float32),
+    }
 
 
 def process_packed_fn(
@@ -133,30 +151,95 @@ def process_packed_fn(
         gray: jnp.ndarray,  # (B, H, W) uint8 grayscale full-res
         threshold: jnp.ndarray,
     ) -> dict[str, jnp.ndarray]:
-        b, h, w = gray.shape
-        x = comp.astype(jnp.float32) / 255.0
-        seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
-        probs = jax.nn.sigmoid(seg_logits)
-        quad, found = find_quadrangle_batch(probs, threshold)
-        quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
-        safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
-        ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(safe_quad)
-        boards = warp_perspective(gray.astype(jnp.float32), ms, constants.BOARD_SIZE)
-        boards = hflip(boards)
-        boards_u8 = jnp.clip(jnp.floor(boards + 0.5), 0, 255).astype(jnp.uint8)
-        squares = extract_squares_batch(boards)
-        cls_in = squares.reshape(b * 64, *constants.PIECE_SIZE, 1) / 255.0
-        cls_out = classifier.apply(classifier_vars, cls_in)
-        cls_probs = cls_out if classifier_outputs_probabilities else jax.nn.softmax(cls_out, axis=-1)
-        return {
-            "logits": seg_logits,
-            "quadrangle": quad_scaled,
-            "found": found,
-            "board_image": boards_u8,
-            "probabilities": cls_probs.reshape(b, 64, constants.NUM_CLASSES).astype(jnp.float32),
-        }
+        return _pipeline_core(
+            extractor,
+            classifier,
+            classifier_outputs_probabilities,
+            extractor_vars,
+            classifier_vars,
+            comp.astype(jnp.float32),
+            gray.astype(jnp.float32),
+            threshold,
+        )
 
     return fn
+
+
+# BT.601 luma weights in the pipeline's fixed-point convention
+# (reference cvtColor BGR→GRAY; ops/color.py uses (9798, 19235, 3735)/2^15).
+_LUMA_R = 9798.0 / 32768.0
+_LUMA_G = 19235.0 / 32768.0
+_LUMA_B = 3735.0 / 32768.0
+
+
+def process_yuv_fn(
+    extractor: Any,
+    classifier: Any,
+    classifier_outputs_probabilities: bool,
+) -> Any:
+    """Minimum-bytes variant: full-res luma + 2×-subsampled blue/red chroma
+    of the segmentation input.  295 KB/board at 512×512 vs 459 KB for
+    ``process_packed_fn`` and 786 KB for raw frames — 2.7× less than raw.
+    The segmentation input is reconstructed ON DEVICE: luma is area-resized
+    512→256 (matmul), chroma planes are bilinearly upsampled 128→256, and
+    green is solved from the BT.601 luma equation.  The warp/classify half
+    uses the exact full-res luma, so board extraction geometry and square
+    classification see bit-identical grayscale; only the UNet's color input
+    carries mild chroma blur (FEN parity on data/test is enforced by
+    tests/test_engine.py)."""
+
+    def fn(
+        extractor_vars: Any,
+        classifier_vars: Any,
+        y: jnp.ndarray,  # (B, H, W) uint8 full-res luma (fixed-point gray)
+        cb: jnp.ndarray,  # (B, 128, 128) uint8: clip(B256 − Y256, ±128) + 128
+        cr: jnp.ndarray,  # (B, 128, 128) uint8: clip(R256 − Y256, ±128) + 128
+        threshold: jnp.ndarray,
+    ) -> dict[str, jnp.ndarray]:
+        y_f = y.astype(jnp.float32)
+        y256 = resize(y_f, constants.INPUT_SIZE)  # (B, 256, 256) f32, area
+        cb256 = resize(cb, constants.INPUT_SIZE) - 128.0  # bilinear upscale
+        cr256 = resize(cr, constants.INPUT_SIZE) - 128.0
+        b256 = y256 + cb256
+        r256 = y256 + cr256
+        g256 = (y256 - _LUMA_R * r256 - _LUMA_B * b256) / _LUMA_G
+        comp = jnp.stack([b256, g256, r256], axis=-1)
+        comp = jnp.clip(jnp.floor(comp + 0.5), 0.0, 255.0)  # uint8 round-trip
+        return _pipeline_core(
+            extractor,
+            classifier,
+            classifier_outputs_probabilities,
+            extractor_vars,
+            classifier_vars,
+            comp,
+            y_f,
+            threshold,
+        )
+
+    return fn
+
+
+def pack_inputs_yuv(images: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side packing for the YUV engine path: fixed-point grayscale at
+    full resolution plus 2×-subsampled chroma DIFFERENCES of the
+    segmentation input (Cb = B−Y, Cr = R−Y, offset-128 uint8).  Chroma
+    differences are smooth in natural images, so 4:2:0 subsampling costs
+    almost nothing while every reconstructed channel keeps full luma
+    detail.  2.7× fewer host→device bytes than raw 512×512×3 frames."""
+    comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
+    th, tw = constants.INPUT_SIZE[1] // 2, constants.INPUT_SIZE[0] // 2
+    # replicate the device's luma downsample: 2×2 area mean of gray
+    gf = gray.astype(np.float32)
+    h, w = gf.shape[1:3]
+    y256 = gf.reshape(len(images), 256, h // 256, 256, w // 256).mean((2, 4))
+    cb = comp[..., 0].astype(np.float32) - y256
+    cr = comp[..., 2].astype(np.float32) - y256
+    # 2×2 area-downsample the differences, offset-bias to uint8
+    cb = cb.reshape(len(images), th, 2, tw, 2).mean((2, 4))
+    cr = cr.reshape(len(images), th, 2, tw, 2).mean((2, 4))
+    cb = np.clip(np.floor(cb + 0.5) + 128.0, 0, 255).astype(np.uint8)
+    cr = np.clip(np.floor(cr + 0.5) + 128.0, 0, 255).astype(np.uint8)
+    return gray, cb, cr
 
 
 def pack_inputs(images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -253,7 +336,6 @@ class Engine:
         donate_inputs: bool = False,
     ) -> None:
         self.mesh = mesh
-        self._fn = process_images_fn(extractor, classifier, classifier_outputs_probabilities)
         if mesh is not None:
             self._ex_vars = jax.device_put(extractor_vars, mesh_lib.replicate(mesh))
             self._cl_vars = jax.device_put(classifier_vars, mesh_lib.replicate(mesh))
@@ -264,35 +346,71 @@ class Engine:
         # arguments: on the tunneled backend, staging the ~10⁷-leaf f32
         # parameter tree per call cost ~1.5 s; baked as compile-time
         # constants the same program executes in tens of ms.
-        ex_vars, cl_vars = self._ex_vars, self._cl_vars
-        fn = self._fn
-        self._jitted_closed = jax.jit(lambda images, thr: fn(ex_vars, cl_vars, images, thr))
         self._extractor = extractor
         self._classifier = classifier
         self._cls_probs_flag = classifier_outputs_probabilities
         self._jitted_packed = None
+        self._jitted_yuv = None
+        # The raw-frame path CHAINS two programs: a tiny preprocess program
+        # (resize + exact grayscale) feeding the SAME compiled back half the
+        # host-packed path uses.  Sharing the back-half program guarantees
+        # raw and packed inference are bit-identical (a fused monolithic
+        # program can round the warp's matmuls differently and flip marginal
+        # squares); the extra dispatch costs ~nothing at batch sizes.
+        self._jitted_pre = jax.jit(preprocess_images)
+
+        def closed(images: Any, thr: Any) -> dict[str, jnp.ndarray]:
+            comp, gray = self._jitted_pre(images)
+            return self._packed_program()(comp, gray, thr)
+
+        self._jitted_closed = closed
         # lite program: only the small outputs (found/quad/probabilities) —
         # for latency-sensitive serving, where shipping the board/logits
         # buffers D2H dominates B=1 time
-        self._jitted_lite = jax.jit(
-            lambda images, thr: {
+        ex_vars, cl_vars = self._ex_vars, self._cl_vars
+        lite_fn = process_packed_fn(extractor, classifier, classifier_outputs_probabilities)
+        self._jitted_lite_packed = jax.jit(
+            lambda c, g, t: {
                 k: v
-                for k, v in fn(ex_vars, cl_vars, images, thr).items()
+                for k, v in lite_fn(ex_vars, cl_vars, c, g, t).items()
                 if k in ("found", "quadrangle", "probabilities")
             }
         )
+
+        def lite(images: Any, thr: Any) -> dict[str, jnp.ndarray]:
+            comp, gray = self._jitted_pre(images)
+            return self._jitted_lite_packed(comp, gray, thr)
+
+        self._jitted_lite = lite
 
     def run_packed(self, comp: Any, gray: Any, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
         """Run the IO-optimized packed-input pipeline (see
         process_packed_fn); inputs from ``pack_inputs`` or the native
         loader."""
+        return self._packed_program()(
+            jnp.asarray(comp), jnp.asarray(gray), jnp.float32(threshold)
+        )
+
+    def _packed_program(self) -> Any:
         if self._jitted_packed is None:
             fn = process_packed_fn(self._extractor, self._classifier, self._cls_probs_flag)
             ex_vars, cl_vars = self._ex_vars, self._cl_vars
-            self._jitted_packed = jax.jit(
-                lambda c, g, t: fn(ex_vars, cl_vars, c, g, t)
-            )
-        return self._jitted_packed(jnp.asarray(comp), jnp.asarray(gray), jnp.float32(threshold))
+            self._jitted_packed = jax.jit(lambda c, g, t: fn(ex_vars, cl_vars, c, g, t))
+        return self._jitted_packed
+
+    def run_yuv(self, y: Any, bc: Any, rc: Any, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
+        """Run the minimum-bytes YUV pipeline (see process_yuv_fn); inputs
+        from ``pack_inputs_yuv``."""
+        return self._yuv_program()(
+            jnp.asarray(y), jnp.asarray(bc), jnp.asarray(rc), jnp.float32(threshold)
+        )
+
+    def _yuv_program(self) -> Any:
+        if self._jitted_yuv is None:
+            fn = process_yuv_fn(self._extractor, self._classifier, self._cls_probs_flag)
+            ex_vars, cl_vars = self._ex_vars, self._cl_vars
+            self._jitted_yuv = jax.jit(lambda y, b, r, t: fn(ex_vars, cl_vars, y, b, r, t))
+        return self._jitted_yuv
 
     # -- device path ---------------------------------------------------------
 
@@ -307,24 +425,42 @@ class Engine:
         images = jnp.asarray(images)
         return self._jitted_closed(images, jnp.float32(threshold))
 
-    def run_stream(self, batches, threshold: float = 0.5):
+    def run_stream(self, batches, threshold: float = 0.5, kind: str = "raw"):
         """Pipelined streaming inference: upload batch i+1 while batch i
         computes (double buffering via async device_put).  Yields device
-        output dicts in order."""
-        import jax
+        output dicts in order.
+
+        ``kind`` selects the input format per element of ``batches``:
+        "raw" — (B, H, W, 3) uint8 frames; "packed" — (comp, gray) tuples
+        from ``pack_inputs``; "yuv" — (y, bc, rc) tuples from
+        ``pack_inputs_yuv``."""
+        if kind == "raw":
+            program = self._jitted_closed
+            put = jax.device_put
+            call = lambda cur, thr: program(cur, thr)  # noqa: E731
+        elif kind == "packed":
+            program = self._packed_program()
+            put = lambda t: tuple(jax.device_put(a) for a in t)  # noqa: E731
+            call = lambda cur, thr: program(*cur, thr)  # noqa: E731
+        elif kind == "yuv":
+            program = self._yuv_program()
+            put = lambda t: tuple(jax.device_put(a) for a in t)  # noqa: E731
+            call = lambda cur, thr: program(*cur, thr)  # noqa: E731
+        else:
+            raise ValueError(f"unknown stream kind {kind!r}")
 
         threshold = jnp.float32(threshold)
         it = iter(batches)
         try:
-            current = jax.device_put(next(it))
+            current = put(next(it))
         except StopIteration:
             return
         pending = None
         while True:
             nxt = next(it, None)
             if nxt is not None:
-                pending = jax.device_put(nxt)  # async H2D overlaps compute
-            out = self._jitted_closed(current, threshold)
+                pending = put(nxt)  # async H2D overlaps compute
+            out = call(current, threshold)
             yield out
             if nxt is None:
                 return

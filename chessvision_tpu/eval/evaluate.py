@@ -182,16 +182,28 @@ def evaluate_model(
         for bi in range(len(res.board_found)):
             name, true_fen = names[idx], true_fens[idx]
             idx += 1
-            if save_artifacts:
+            # Per-sample artifacts live IN the metrics table (path columns),
+            # like the reference's image columns (evaluate.py:248-261,
+            # 373-403); --save-artifacts also writes them without a table.
+            artifact_paths: dict[str, Path] = {}
+            if save_artifacts or include_metrics_table:
                 from chessvision_tpu.eval.render import save_eval_artifacts
 
-                save_eval_artifacts(
+                artifact_paths = save_eval_artifacts(
                     artifacts_dir,
                     name,
                     fen=res.fens[bi] if res.board_found[bi] else None,
                     binary_mask=res.binary_mask[bi],
                     board_image=res.board_image[bi] if res.board_found[bi] else None,
                 )
+            artifact_cols = tuple(
+                (col, str(artifact_paths.get(kind, "")))
+                for col, kind in (
+                    ("predicted_board_image", "predicted_board"),
+                    ("mask_image", "binary_mask"),
+                    ("extracted_board_image", "extracted_board"),
+                )
+            )
             if not res.board_found[bi]:
                 extraction_failures += 1
                 if include_metrics_table:
@@ -203,7 +215,7 @@ def evaluate_model(
                         ("top_3", 0.0),
                         ("num_fixes", 0),
                         ("extraction_failure", 1),
-                    ):
+                    ) + artifact_cols:
                         per_sample_rows.setdefault(k, []).append(v)
                 continue
             evaluated += 1
@@ -226,7 +238,7 @@ def evaluate_model(
                     ("top_3", topk.top_3),
                     ("num_fixes", len(res.validation_fixes[bi])),
                     ("extraction_failure", 0),
-                ):
+                ) + artifact_cols:
                     per_sample_rows.setdefault(k, []).append(v)
 
     n = max(evaluated, 1)

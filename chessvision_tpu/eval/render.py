@@ -64,23 +64,26 @@ def save_eval_artifacts(
     fen: str | None = None,
     binary_mask: np.ndarray | None = None,
     board_image: np.ndarray | None = None,
-) -> list[Path]:
+) -> dict[str, Path]:
     """Persist the reference's per-image eval artifacts (evaluate.py:373-403):
-    predicted-board render, binary mask, extracted board crop."""
+    predicted-board render, binary mask, extracted board crop.  Returns
+    ``{kind: path}`` so callers can record artifact locations per table row
+    (the reference writes these images INTO the per-sample metrics table,
+    evaluate.py:248-261)."""
     import cv2
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    written: list[Path] = []
+    written: dict[str, Path] = {}
     stem = Path(name).stem
     if fen:
-        written.append(render_board_png(fen, out / f"{stem}_predicted.png"))
+        written["predicted_board"] = render_board_png(fen, out / f"{stem}_predicted.png")
     if binary_mask is not None:
         p = out / f"{stem}_mask.png"
         cv2.imwrite(str(p), binary_mask)
-        written.append(p)
+        written["binary_mask"] = p
     if board_image is not None:
         p = out / f"{stem}_board.png"
         cv2.imwrite(str(p), board_image)
-        written.append(p)
+        written["extracted_board"] = p
     return written

@@ -258,3 +258,47 @@ def run_pipeline(
     run.set_status_completed()
     logger.info("Ingested %d files into %s", len(files), table.url)
     return table, run
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI driver mirroring the reference's runnable pipeline entry
+    (run_process_pipeline.py:1-31): one command ingests a folder (or an S3
+    date range) and writes the enrichment table + run."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m chessvision_tpu.ingest.pipeline",
+        description="Ingest raw board photos and enrich them with the batched engine.",
+    )
+    src = parser.add_argument_group("source (pick one)")
+    src.add_argument("--input-folder", help="local folder of raw images")
+    src.add_argument("--start-date", help="S3 batch start date, YYYY-MM-DD")
+    src.add_argument("--end-date", help="S3 batch end date, YYYY-MM-DD")
+    parser.add_argument("--bucket", default="chessvision-bucket", help="S3 bucket name")
+    parser.add_argument("--project", default="chessvision-new-raw")
+    parser.add_argument("--dataset", default="raw")
+    parser.add_argument("--table-name", default=None)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    args = parser.parse_args(argv)
+
+    if not args.input_folder and not (args.start_date and args.end_date):
+        parser.error("need --input-folder or both --start-date and --end-date")
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    table, run = run_pipeline(
+        input_folder=args.input_folder,
+        start_date=datetime.date.fromisoformat(args.start_date) if args.start_date else None,
+        end_date=datetime.date.fromisoformat(args.end_date) if args.end_date else None,
+        bucket=args.bucket,
+        project=args.project,
+        dataset=args.dataset,
+        table_name=args.table_name,
+        threshold=args.threshold,
+    )
+    print(f"table: {table.url}")
+    print(f"run:   {run.url}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,8 +104,26 @@ def resize(
 
     xf = x.astype(jnp.float32)
     # (B,H,W,C): contract H with W_h then W with W_w — two MXU matmuls.
-    out = jnp.einsum("hs,bswc->bhwc", wh_j, xf, preferred_element_type=jnp.float32)
-    out = jnp.einsum("wt,bhtc->bhwc", ww_j, out, preferred_element_type=jnp.float32)
+    # HIGHEST precision: on TPU the default matmul precision truncates
+    # operands to bf16 (8 mantissa bits), which loses the low bit of
+    # 0.5·uint8 products and shifts the result by ±1 gray level — enough to
+    # flip marginal mask pixels downstream and move quadrangle corners.
+    # With f32 accumulation the integer-factor area resize is exact (and
+    # matches the cv2-golden CPU tests bit-for-bit on TPU as well).
+    out = jnp.einsum(
+        "hs,bswc->bhwc",
+        wh_j,
+        xf,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.einsum(
+        "wt,bhtc->bhwc",
+        ww_j,
+        out,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     if round_uint8:
         # cv2 saturate_cast on the integer path rounds half away from zero;

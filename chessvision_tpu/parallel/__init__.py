@@ -9,8 +9,17 @@ batch of boards — there is no sequence axis (SURVEY.md §5.7).
 from chessvision_tpu.parallel.mesh import (
     create_mesh,
     data_sharding,
+    initialize_distributed,
+    process_local_batch_slice,
     replicate,
     shard_batch,
 )
 
-__all__ = ["create_mesh", "data_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "create_mesh",
+    "data_sharding",
+    "initialize_distributed",
+    "process_local_batch_slice",
+    "replicate",
+    "shard_batch",
+]

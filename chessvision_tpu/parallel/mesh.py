@@ -18,14 +18,67 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+_distributed_initialized = False
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Multi-host entry point: join the ``jax.distributed`` cluster so that
+    ``jax.devices()`` (and therefore ``create_mesh``) spans every process's
+    chips — batch sharding rides ICI within a slice and DCN across hosts,
+    with XLA inserting the collectives (scaling-book recipe; the reference
+    has no distributed layer to mirror, SURVEY §2.5/§5.8).
+
+    With no arguments, cluster-environment autodetection is used (TPU pods
+    set the coordinator/process env vars); single-process runs are a no-op.
+    Returns the process index.  Idempotent."""
+    import os
+
+    global _distributed_initialized
+    env_cluster = coordinator_address is None and (
+        "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ
+    )
+    if not _distributed_initialized and (coordinator_address is not None or env_cluster):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+            _distributed_initialized = True
+        except (ValueError, RuntimeError):
+            # single-process / already-initialized / no cluster env: fall
+            # through to local devices
+            pass
+    return jax.process_index()
+
 
 def create_mesh(n_devices: int | None = None, devices: Any = None) -> Mesh:
-    """A 1-D data-parallel mesh over ``n_devices`` (default: all)."""
+    """A 1-D data-parallel mesh over ``n_devices`` (default: ALL devices —
+    across every process when ``initialize_distributed`` has joined a
+    multi-host cluster, so the same code scales from one chip to a pod)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def process_local_batch_slice(global_batch: int) -> tuple[int, int]:
+    """(start, stop) rows of the global batch this process should load —
+    the per-host input pipeline for multi-host DP (each host feeds only its
+    addressable shard; jax.make_array_from_process_local_data pairs with
+    this)."""
+    n = jax.process_count()
+    idx = jax.process_index()
+    per = global_batch // n
+    extra = global_batch % n
+    start = idx * per + min(idx, extra)
+    stop = start + per + (1 if idx < extra else 0)
+    return start, stop
 
 
 def data_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:

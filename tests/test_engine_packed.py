@@ -1,11 +1,18 @@
-"""Packed-input engine path: parity with the all-device pipeline."""
+"""Packed-input engine paths: parity with the all-device pipeline."""
 
 import numpy as np
 
-from chessvision_tpu.engine import Engine, pack_inputs
+from chessvision_tpu.engine import Engine, pack_inputs, pack_inputs_yuv
 from tests.test_engine import StubClassifier, StubExtractor, _quad_logits, _start_position_logits
 
 START_FEN = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR"
+
+
+def _stub_engine() -> Engine:
+    quad = np.array([[32, 28], [224, 30], [226, 228], [30, 226]], np.float32)
+    return Engine(
+        StubExtractor(_quad_logits(quad)), {}, StubClassifier(_start_position_logits()), {}
+    )
 
 
 def test_pack_inputs_shapes() -> None:
@@ -17,11 +24,21 @@ def test_pack_inputs_shapes() -> None:
     assert (comp.nbytes + gray.nbytes) < 0.65 * imgs.nbytes
 
 
-def test_run_packed_matches_process_batch() -> None:
-    quad = np.array([[32, 28], [224, 30], [226, 228], [30, 226]], np.float32)
-    eng = Engine(
-        StubExtractor(_quad_logits(quad)), {}, StubClassifier(_start_position_logits()), {}
-    )
+def test_pack_inputs_yuv_shapes() -> None:
+    imgs = np.random.default_rng(0).integers(0, 256, (3, 512, 512, 3), np.uint8)
+    y, cb, cr = pack_inputs_yuv(imgs)
+    assert y.shape == (3, 512, 512) and y.dtype == np.uint8
+    assert cb.shape == (3, 128, 128) and cb.dtype == np.uint8
+    assert cr.shape == (3, 128, 128) and cr.dtype == np.uint8
+    # 4:2:0 payload is ~2.7x smaller than raw frames
+    assert (y.nbytes + cb.nbytes + cr.nbytes) < 0.40 * imgs.nbytes
+
+
+def test_run_packed_is_bit_identical_to_process_batch() -> None:
+    """The raw-frame path chains the SAME compiled back half the packed
+    path uses, so outputs must be bit-identical — the bench's headline
+    packed path provably changes nothing."""
+    eng = _stub_engine()
     imgs = np.random.default_rng(1).integers(0, 256, (2, 512, 512, 3), np.uint8)
 
     full = eng.process_batch(imgs)
@@ -29,8 +46,57 @@ def test_run_packed_matches_process_batch() -> None:
     packed = {k: np.asarray(v) for k, v in eng.run_packed(comp, gray).items()}
 
     assert packed["found"].all()
-    np.testing.assert_allclose(packed["quadrangle"], full.quadrangle, atol=1e-3)
-    # boards differ only by grayscale rounding order (±1 level)
-    diff = np.abs(packed["board_image"].astype(int) - full.board_image.astype(int))
-    assert diff.mean() < 1.0, diff.mean()
-    np.testing.assert_allclose(packed["probabilities"], full.probabilities, atol=1e-5)
+    np.testing.assert_array_equal(packed["quadrangle"], full.quadrangle)
+    np.testing.assert_array_equal(packed["board_image"], full.board_image)
+    np.testing.assert_array_equal(packed["probabilities"], full.probabilities)
+
+
+def test_run_yuv_reconstruction_close() -> None:
+    """YUV 4:2:0 is the documented APPROXIMATE mode: same geometry from the
+    exact luma plane; classifier probabilities may differ slightly through
+    the chroma-blurred segmentation input (33/38 FEN agreement measured on
+    data/test — stub models here give deterministic geometry)."""
+    eng = _stub_engine()
+    imgs = np.random.default_rng(2).integers(0, 256, (2, 512, 512, 3), np.uint8)
+
+    full = eng.process_batch(imgs)
+    y, cb, cr = pack_inputs_yuv(imgs)
+    out = {k: np.asarray(v) for k, v in eng.run_yuv(y, cb, cr).items()}
+
+    assert out["found"].all()
+    # the warp half uses the exact full-res luma: geometry identical
+    np.testing.assert_array_equal(out["quadrangle"], full.quadrangle)
+    np.testing.assert_array_equal(out["board_image"], full.board_image)
+
+
+def test_yuv_comp_reconstruction_accuracy() -> None:
+    """The device-reconstructed segmentation input must track the exact
+    INTER_AREA comp closely (chroma-difference 4:2:0: full luma detail in
+    every channel; only chroma edges blur)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from chessvision_tpu import constants
+    from chessvision_tpu.ops import resize
+
+    rng = np.random.default_rng(3)
+    # piecewise-smooth color image (natural-image-like chroma)
+    base = rng.integers(0, 256, (4, 4, 3), np.uint8)
+    img = cv2.resize(base, (512, 512), interpolation=cv2.INTER_LINEAR)
+    imgs = img[None]
+
+    comp_exact, _ = pack_inputs(imgs)
+    y, cb, cr = pack_inputs_yuv(imgs)
+
+    # replicate the device reconstruction (process_yuv_fn)
+    y256 = np.asarray(resize(jnp.asarray(y, jnp.float32), constants.INPUT_SIZE))
+    cb256 = np.asarray(resize(jnp.asarray(cb), constants.INPUT_SIZE)) - 128.0
+    cr256 = np.asarray(resize(jnp.asarray(cr), constants.INPUT_SIZE)) - 128.0
+    b = y256 + cb256
+    r = y256 + cr256
+    g = (y256 - (9798 / 32768) * r - (3735 / 32768) * b) / (19235 / 32768)
+    rec = np.clip(np.floor(np.stack([b, g, r], -1) + 0.5), 0, 255)
+
+    err = np.abs(rec - comp_exact.astype(np.float64))
+    assert err.mean() < 1.5, err.mean()
+    assert np.percentile(err, 99) <= 6.0, np.percentile(err, 99)

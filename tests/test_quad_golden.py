@@ -104,6 +104,88 @@ def test_quadrangles_match_cv2_oracle_on_fixture_masks() -> None:
     assert aligned_start / compared >= 0.85, aligned_start / compared
 
 
+@pytest.mark.slow
+def test_quadrangles_exact_on_all_631_fixture_masks() -> None:
+    """Enforces the ops/quad.py claim: corner-EXACT parity with the cv2
+    oracle on every checked-in fixture mask (631), including found-flag
+    agreement.  Slow-marked (~1 min on CPU); the fast 60-mask test above
+    runs in the default suite."""
+    paths = sorted(MASK_DIR.glob("*.png"))
+    masks = []
+    for p in paths:
+        m = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            continue
+        if m.shape != (256, 256):
+            m = cv2.resize(m, (256, 256), interpolation=cv2.INTER_NEAREST)
+        masks.append(np.where(m > 127, np.uint8(255), np.uint8(0)))
+    assert len(masks) == 631, len(masks)
+
+    import jax
+
+    chunk_size = 128
+    batched = jax.jit(lambda p: quad_ops.find_quadrangle_batch(p, 0.5))
+    quads_parts, found_parts = [], []
+    for i in range(0, len(masks), chunk_size):
+        chunk = masks[i : i + chunk_size]
+        n = len(chunk)
+        while len(chunk) < chunk_size:
+            chunk.append(np.zeros((256, 256), np.uint8))
+        probs = np.stack([m.astype(np.float32) / 255.0 for m in chunk])
+        q, f = batched(probs)
+        quads_parts.append(np.asarray(q)[:n])
+        found_parts.append(np.asarray(f)[:n])
+    quads = np.concatenate(quads_parts)
+    found = np.concatenate(found_parts)
+
+    for i, m in enumerate(masks):
+        ref = _reference_find_quadrangle(m)
+        assert (ref is not None) == bool(found[i]), f"found-flag mismatch on mask {i}"
+        if ref is None:
+            continue
+        d = _corner_distance(ref, quads[i])
+        assert d == 0.0, f"mask {i}: corner distance {d} (expected exact)"
+
+
+def test_nonconvex_components_match_oracle() -> None:
+    """Adversarial non-convex blobs (U/C/spiral shapes from bad
+    segmentations): the FLOOD_ROUNDS-bounded component propagation and the
+    support-hull 4-gon test must agree with the cv2 oracle's decision
+    (reference core.py:357-404 rejects these: approxPolyDP at 10% arclen
+    does not yield a 4-gon)."""
+    shapes: dict[str, np.ndarray] = {}
+
+    u = np.zeros((256, 256), np.uint8)
+    u[40:220, 40:90] = 255
+    u[40:220, 170:220] = 255
+    u[180:220, 40:220] = 255
+    shapes["U"] = u
+
+    c = np.zeros((256, 256), np.uint8)
+    cv2.ellipse(c, (128, 128), (90, 90), 0, 30, 330, 255, 40)
+    shapes["C"] = c
+
+    s = np.zeros((256, 256), np.uint8)
+    s[20:230, 20:50] = 255
+    s[200:230, 20:230] = 255
+    s[60:230, 200:230] = 255
+    s[60:90, 80:230] = 255
+    s[60:160, 80:110] = 255
+    shapes["spiral"] = s
+
+    u2 = u.copy()
+    u2[10:40, 230:250] = 255  # second component → area/ratio filters apply
+    shapes["U+speck"] = u2
+
+    for name, mask in shapes.items():
+        ref = _reference_find_quadrangle(mask)
+        _, found = quad_ops.find_quadrangle(mask.astype(np.float32) / 255.0, 0.5)
+        assert (ref is not None) == bool(found), (
+            f"{name}: oracle {'found' if ref is not None else 'rejected'}, "
+            f"ours {'found' if bool(found) else 'rejected'}"
+        )
+
+
 def test_synthetic_rotated_square() -> None:
     """An exact rotated square: corners must be recovered within 2 px."""
     mask = np.zeros((256, 256), np.uint8)
