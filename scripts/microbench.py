@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def timeit(fn, *args, iters=5):
+def timeit(fn, *args, iters=5, name=None):
+    if name:
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
     out = fn(*args)
     x = out[0] if isinstance(out, tuple) else out
     float(jnp.sum(x.astype(jnp.float32)))
@@ -36,7 +38,10 @@ def timeit(fn, *args, iters=5):
         x = out[0] if isinstance(out, tuple) else out
         float(jnp.sum(x.astype(jnp.float32)))
         ts.append(time.perf_counter() - t0)
-    return round(float(np.median(ts)) * 1000, 2)
+    ms = round(float(np.median(ts)) * 1000, 2)
+    if name:
+        print(f"[bench] {name}: {ms} ms", file=sys.stderr, flush=True)
+    return ms
 
 
 # ---------------- warp resample candidates ----------------
@@ -134,7 +139,7 @@ def hat_banded_T_selectn(src, pos):
         jnp.broadcast_to(src[:, None, q * QUANT : q * QUANT + WINDOW], (ROWS, nt, WINDOW))
         for q in range(n_starts)
     ]
-    band = lax.select_n(k[:, :, None], *cands)
+    band = lax.select_n(jnp.broadcast_to(k[:, :, None], (ROWS, nt, WINDOW)), *cands)
     base = k.astype(jnp.float32) * QUANT
     rel = post - base[:, :, None]
     jj = jnp.arange(WINDOW, dtype=jnp.float32)
@@ -166,11 +171,11 @@ def bench_warp(iters):
     off = 40.0 * jax.random.uniform(key, (ROWS, 1))
     pos = off + slope * u * (J / (slope * U + 1e-6)) * 0.9
     res = {}
-    res["hat_full"] = timeit(jax.jit(hat_full), src, pos, iters=iters)
-    res["hat_full_T"] = timeit(jax.jit(hat_full_T), src, pos, iters=iters)
-    res["hat_banded_T"] = timeit(jax.jit(hat_banded_T), src, pos, iters=iters)
-    res["hat_banded_T_selectn"] = timeit(jax.jit(hat_banded_T_selectn), src, pos, iters=iters)
-    res["hat_banded"] = timeit(jax.jit(hat_banded), src, pos, iters=iters)
+    res["hat_full"] = timeit(jax.jit(hat_full), src, pos, iters=iters, name="hat_full")
+    res["hat_full_T"] = timeit(jax.jit(hat_full_T), src, pos, iters=iters, name="hat_full_T")
+    res["hat_banded_T"] = timeit(jax.jit(hat_banded_T), src, pos, iters=iters, name="hat_banded_T")
+    res["hat_banded_T_selectn"] = timeit(jax.jit(hat_banded_T_selectn), src, pos, iters=iters, name="hat_banded_T_selectn")
+    res["hat_banded"] = timeit(jax.jit(hat_banded), src, pos, iters=iters, name="hat_banded")
     # correctness cross-check (banded vs full) on this input
     full = jax.jit(hat_full)(src, pos)
     res["banded_equal_full"] = bool(jnp.array_equal(full, jax.jit(hat_banded)(src, pos)))
@@ -212,9 +217,9 @@ def bench_quad(iters):
 
     res = {}
     res["smooth_9x9_2d"] = timeit(jax.jit(lambda p: smooth_2d(p)), probs, iters=iters)
-    res["smooth_9x9_sep"] = timeit(jax.jit(smooth_sep), probs, iters=iters)
-    res["flood_halfres"] = timeit(jax.jit(flood), mask, iters=iters)
-    res["support_decimate"] = timeit(jax.jit(supdec), mask, iters=iters)
+    res["smooth_9x9_sep"] = timeit(jax.jit(smooth_sep), probs, iters=iters, name="smooth_9x9_sep")
+    res["flood_halfres"] = timeit(jax.jit(flood), mask, iters=iters, name="flood_halfres")
+    res["support_decimate"] = timeit(jax.jit(supdec), mask, iters=iters, name="support_decimate")
     return res
 
 
