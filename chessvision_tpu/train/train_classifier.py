@@ -139,6 +139,12 @@ def train_model(
             )
         start_epoch = int(res_meta.get("epoch", 0)) + 1
         logger.info("Resumed from %s at epoch %d", resume, start_epoch)
+        if start_epoch > epochs:
+            raise ValueError(
+                f"--resume checkpoint is at epoch {start_epoch - 1} but --epochs is "
+                f"{epochs}: no epochs would run (epochs counts TOTAL epochs across "
+                f"resumes). Pass --epochs > {start_epoch - 1} to fine-tune."
+            )
 
     if mesh is not None:
         state = jax.device_put(state, replicate(mesh))
