@@ -296,7 +296,7 @@ def main(argv: list[str] | None = None) -> int:
         threshold=args.threshold,
     )
     print(f"table: {table.url}")
-    print(f"run:   {run.url}")
+    print(f"run:   {run.dir}")
     return 0
 
 

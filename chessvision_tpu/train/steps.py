@@ -132,19 +132,35 @@ def make_seg_eval_step() -> Callable:
     return jax.jit(step)
 
 
-def make_cls_train_step(mesh=None, label_smoothing: float = 0.0) -> Callable:
-    """Classifier train step: cross entropy (optional smoothing) + top-1."""
+def make_cls_train_step(
+    mesh=None, label_smoothing: float = 0.0, freeze_bn: bool = False
+) -> Callable:
+    """Classifier train step: cross entropy (optional smoothing) + top-1.
+
+    ``freeze_bn`` runs BatchNorm in inference mode (frozen running stats)
+    while still training the parameters — the standard fine-tune mode
+    when resuming a converged model, whose running stats would otherwise
+    drift under augmented/reweighted batches."""
 
     def step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
         def loss_fn(params):
-            logits, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            if freeze_bn:
+                logits = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=False,
+                )
+                new_stats = state.batch_stats
+            else:
+                logits, updates = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                new_stats = updates["batch_stats"]
             loss = losses.cross_entropy(logits, labels, label_smoothing)
-            return loss, (updates["batch_stats"], logits)
+            return loss, (new_stats, logits)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_stats)

@@ -54,6 +54,7 @@ def train_model(
     lr_gamma: float = LR_SCHEDULER_GAMMA,
     resume: str | None = None,
     label_smoothing: float = 0.0,
+    freeze_bn: bool = False,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -149,7 +150,7 @@ def train_model(
     if mesh is not None:
         state = jax.device_put(state, replicate(mesh))
 
-    train_step = make_cls_train_step(mesh, label_smoothing=label_smoothing)
+    train_step = make_cls_train_step(mesh, label_smoothing=label_smoothing, freeze_bn=freeze_bn)
     eval_step = make_cls_eval_step()
 
     @jax.jit
@@ -318,6 +319,7 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--lr-gamma", type=float, default=LR_SCHEDULER_GAMMA)
     parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     parser.add_argument("--label-smoothing", type=float, default=0.0)
+    parser.add_argument("--freeze-bn", action="store_true", help="fine-tune with frozen BatchNorm running stats")
     parser.add_argument("--promote", action="store_true")
     return parser.parse_args()
 
@@ -342,6 +344,7 @@ def main() -> None:
         lr_gamma=args.lr_gamma,
         resume=args.resume,
         label_smoothing=args.label_smoothing,
+        freeze_bn=args.freeze_bn,
     )
     from pathlib import Path
 
