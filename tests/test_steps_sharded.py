@@ -130,3 +130,21 @@ def test_seg_train_step_sharded_multiple_steps() -> None:
     assert np.isfinite(float(metrics["loss"]))
     after = np.asarray(jax.tree.leaves(state.params)[0])
     assert not np.allclose(before, after)
+
+
+def test_cls_train_step_freeze_bn_keeps_stats_and_trains_params() -> None:
+    """--freeze-bn fine-tune mode: BatchNorm running stats must not move,
+    parameters must (the mode exists because stats drift under
+    augmented/reweighted fine-tune batches regressed converged models)."""
+    state = _cls_state()
+    step = make_cls_train_step(None, freeze_bn=True)
+    imgs = jax.random.uniform(jax.random.PRNGKey(3), (16, 64, 64, 1))
+    labs = jnp.arange(16) % 13
+    new_state, metrics = step(state, imgs, labs)
+    for old, new in zip(jax.tree.leaves(state.batch_stats), jax.tree.leaves(new_state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params))
+    )
+    assert np.isfinite(float(metrics["loss"]))
