@@ -111,6 +111,18 @@ def main() -> None:
     # ---- connection warmup: the relay's first transfer is ~10× slow ----
     np.asarray(jnp.asarray(batch[:4]).reshape(-1)[:8])
 
+    # ---- B=1 p50 latency FIRST: the relay degrades with cumulative
+    # in-process transfer volume (CLAUDE.md), so single-image latency is
+    # measured on the cleanest link, before the throughput loops ----
+    single = batch[:1]
+    engine.process_batch(single)
+    lat = []
+    for _ in range(7):
+        t = time.perf_counter()
+        engine.process_batch(single)
+        lat.append(time.perf_counter() - t)
+    p50_ms = float(np.median(lat) * 1000)
+
     def _timed(run_once, iters: int) -> float:
         """boards/s from the MEDIAN per-iteration wall time (robust to the
         relay's transient stalls); every iteration is a full host-image→FEN
@@ -171,16 +183,6 @@ def main() -> None:
         np.asarray(out["found"])
     compute_elapsed = time.perf_counter() - t0
     compute_boards_per_sec = cbsz * args.iters / compute_elapsed
-
-    # ---- B=1 p50 latency ----
-    single = batch[:1]
-    engine.process_batch(single)
-    lat = []
-    for _ in range(7):
-        t = time.perf_counter()
-        engine.process_batch(single)
-        lat.append(time.perf_counter() - t)
-    p50_ms = float(np.median(lat) * 1000)
 
     # ---- raw host→device bandwidth probe (last: costs link budget) ----
     probe = batch[: max(1, bsz // 8)]

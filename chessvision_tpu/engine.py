@@ -40,6 +40,10 @@ from chessvision_tpu.parallel import mesh as mesh_lib
 # Destination corners for the rectified board — note (w, h), not (w-1, h-1),
 # matching the reference exactly (utils.py:127-128).
 _BOARD_W, _BOARD_H = constants.BOARD_SIZE
+# constants sizes are cv2-style (width, height); ops.resize takes (height,
+# width).  Square today, but keep the conversion explicit so a non-square
+# INPUT_SIZE cannot silently transpose the segmentation input.
+_INPUT_HW = (constants.INPUT_SIZE[1], constants.INPUT_SIZE[0])
 _DEST = np.array(
     [[0.0, 0.0], [_BOARD_W, 0.0], [_BOARD_W, _BOARD_H], [0.0, _BOARD_H]], np.float32
 )
@@ -88,7 +92,7 @@ def preprocess_images(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     The outputs feed the same compiled back half the host-packed paths use
     (``process_packed_fn``), so raw-frame and packed inference produce
     bit-identical results."""
-    comp = resize(images, constants.INPUT_SIZE, round_uint8=True)
+    comp = resize(images, _INPUT_HW, round_uint8=True)
     gray = bgr_to_gray(images, exact_u8=True)
     return comp, gray
 
@@ -185,8 +189,8 @@ def process_yuv_fn(
     green is solved from the BT.601 luma equation.  The warp/classify half
     uses the exact full-res luma, so board extraction geometry and square
     classification see bit-identical grayscale; only the UNet's color input
-    carries mild chroma blur (FEN parity on data/test is enforced by
-    tests/test_engine.py)."""
+    carries mild chroma blur (FEN agreement vs the exact packed path on data/test is
+    enforced by tests/test_engine_packed.py)."""
 
     def fn(
         extractor_vars: Any,
@@ -197,9 +201,9 @@ def process_yuv_fn(
         threshold: jnp.ndarray,
     ) -> dict[str, jnp.ndarray]:
         y_f = y.astype(jnp.float32)
-        y256 = resize(y_f, constants.INPUT_SIZE)  # (B, 256, 256) f32, area
-        cb256 = resize(cb, constants.INPUT_SIZE) - 128.0  # bilinear upscale
-        cr256 = resize(cr, constants.INPUT_SIZE) - 128.0
+        y256 = resize(y_f, _INPUT_HW)  # (B, 256, 256) f32, area
+        cb256 = resize(cb, _INPUT_HW) - 128.0  # bilinear upscale
+        cr256 = resize(cr, _INPUT_HW) - 128.0
         b256 = y256 + cb256
         r256 = y256 + cr256
         g256 = (y256 - _LUMA_R * r256 - _LUMA_B * b256) / _LUMA_G
@@ -227,11 +231,17 @@ def pack_inputs_yuv(images: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     almost nothing while every reconstructed channel keeps full luma
     detail.  2.7× fewer host→device bytes than raw 512×512×3 frames."""
     comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
-    th, tw = constants.INPUT_SIZE[1] // 2, constants.INPUT_SIZE[0] // 2
-    # replicate the device's luma downsample: 2×2 area mean of gray
+    ih, iw = _INPUT_HW
+    th, tw = ih // 2, iw // 2
+    # replicate the device's luma downsample: area mean of gray
     gf = gray.astype(np.float32)
     h, w = gf.shape[1:3]
-    y256 = gf.reshape(len(images), 256, h // 256, 256, w // 256).mean((2, 4))
+    if h % ih or w % iw:
+        raise ValueError(
+            f"pack_inputs_yuv needs frame dims divisible by {constants.INPUT_SIZE} "
+            f"(w, h); got {(w, h)} — use pack_inputs/the raw path for this size"
+        )
+    y256 = gf.reshape(len(images), ih, h // ih, iw, w // iw).mean((2, 4))
     cb = comp[..., 0].astype(np.float32) - y256
     cr = comp[..., 2].astype(np.float32) - y256
     # 2×2 area-downsample the differences, offset-bias to uint8
@@ -438,12 +448,8 @@ class Engine:
             program = self._jitted_closed
             put = jax.device_put
             call = lambda cur, thr: program(cur, thr)  # noqa: E731
-        elif kind == "packed":
-            program = self._packed_program()
-            put = lambda t: tuple(jax.device_put(a) for a in t)  # noqa: E731
-            call = lambda cur, thr: program(*cur, thr)  # noqa: E731
-        elif kind == "yuv":
-            program = self._yuv_program()
+        elif kind in ("packed", "yuv"):
+            program = self._packed_program() if kind == "packed" else self._yuv_program()
             put = lambda t: tuple(jax.device_put(a) for a in t)  # noqa: E731
             call = lambda cur, thr: program(*cur, thr)  # noqa: E731
         else:

@@ -180,20 +180,36 @@ def enrich_table(
         "probability_confidence": [],
     }
 
+    from chessvision_tpu import native_loader
+
+    use_native = native_loader.available()
     for start in range(0, len(paths), batch_size):
         chunk = paths[start : start + batch_size]
-        imgs = []
-        keep_ids = []
-        for i, p in enumerate(chunk):
-            img = cv2.imread(str(p))
-            if img is None:
-                continue
-            if img.shape[:2] != (image_size, image_size):
-                img = cv2.resize(img, (image_size, image_size), interpolation=cv2.INTER_AREA)
-            imgs.append(img)
-            keep_ids.append(table["example_id"][start + i])
-        if not imgs:
+        if use_native:
+            # threaded C++ decode+INTER_AREA straight into one NHWC batch —
+            # the hot host stage of ingestion (decode error → zeroed frame,
+            # dropped below like a cv2.imread failure)
+            loaded, _ = native_loader.load_batch(
+                [str(p) for p in chunk], image_size, image_size
+            )
+            pairs = [
+                (img, table["example_id"][start + i])
+                for i, img in enumerate(loaded)
+                if img.sum() > 0
+            ]
+        else:
+            pairs = []
+            for i, p in enumerate(chunk):
+                img = cv2.imread(str(p))
+                if img is None:
+                    continue
+                if img.shape[:2] != (image_size, image_size):
+                    img = cv2.resize(img, (image_size, image_size), interpolation=cv2.INTER_AREA)
+                pairs.append((img, table["example_id"][start + i]))
+        if not pairs:
             continue
+        imgs = [im for im, _ in pairs]
+        keep_ids = [ex for _, ex in pairs]
         batch = np.stack(imgs)
         res = cv_model.engine.process_batch(batch, threshold)
         probs_masks = 1.0 / (1.0 + np.exp(-res.logits))  # (b, 256, 256)

@@ -32,26 +32,42 @@ def initialize_distributed(
     with XLA inserting the collectives (scaling-book recipe; the reference
     has no distributed layer to mirror, SURVEY §2.5/§5.8).
 
-    With no arguments, cluster-environment autodetection is used (TPU pods
-    set the coordinator/process env vars); single-process runs are a no-op.
-    Returns the process index.  Idempotent."""
+    Engages when (a) a coordinator address is passed explicitly, or (b) a
+    cluster environment is detected: the generic coordinator env vars, the
+    TPU-pod markers jax's own autodetection keys off (TPU_WORKER_HOSTNAMES
+    / MEGASCALE_COORDINATOR_ADDRESS), or the CVTPU_DISTRIBUTED=1 opt-in
+    (which defers entirely to jax's cluster autodetection).  Plain
+    single-process runs are a no-op.  Explicit-argument failures PROPAGATE
+    — a misconfigured multi-host job must die loudly, not degrade into N
+    independent single-host trainings; only the best-effort autodetect
+    path falls through to local devices.  Returns the process index.
+    Idempotent."""
     import os
 
     global _distributed_initialized
-    env_cluster = coordinator_address is None and (
-        "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ
+    env_cluster = coordinator_address is None and any(
+        v in os.environ
+        for v in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
     )
-    if not _distributed_initialized and (coordinator_address is not None or env_cluster):
+    env_cluster = env_cluster or os.environ.get("CVTPU_DISTRIBUTED") == "1"
+    if not _distributed_initialized and coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _distributed_initialized = True
+    elif not _distributed_initialized and env_cluster:
         try:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
+            jax.distributed.initialize()  # full cluster autodetection
             _distributed_initialized = True
         except (ValueError, RuntimeError):
-            # single-process / already-initialized / no cluster env: fall
-            # through to local devices
+            # best-effort: no real cluster behind the env markers
             pass
     return jax.process_index()
 

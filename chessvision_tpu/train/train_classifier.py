@@ -55,6 +55,8 @@ def train_model(
     resume: str | None = None,
     label_smoothing: float = 0.0,
     freeze_bn: bool = False,
+    ema_decay: float = 0.0,
+    schedule_kind: str = "step",
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -103,14 +105,23 @@ def train_model(
     key = jax.random.PRNGKey(seed)
     variables = model.init(key, jnp.zeros((1, 64, 64, 1), jnp.float32))
 
-    # StepLR(step_size=4, gamma=0.1)
     steps_per_epoch = max(1, n_train // batch_size)
-    schedule = optax.exponential_decay(
-        learning_rate,
-        transition_steps=lr_step_size * steps_per_epoch,
-        decay_rate=lr_gamma,
-        staircase=True,
-    )
+    if schedule_kind == "cosine":
+        # cosine-to-zero over the full run with a 2-epoch linear warmup
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate / 25,
+            peak_value=learning_rate,
+            warmup_steps=2 * steps_per_epoch,
+            decay_steps=epochs * steps_per_epoch,
+        )
+    else:
+        # StepLR(step_size=4, gamma=0.1) — the reference's schedule
+        schedule = optax.exponential_decay(
+            learning_rate,
+            transition_steps=lr_step_size * steps_per_epoch,
+            decay_rate=lr_gamma,
+            staircase=True,
+        )
     tx = optax.adam(schedule)
     state = TrainState.create(
         apply_fn=model.apply,
@@ -208,6 +219,19 @@ def train_model(
             counts = np.bincount(data.train_labels, minlength=constants.NUM_CLASSES)
             weights = (1.0 / np.maximum(counts, 1))[data.train_labels]
 
+    # Exponential moving average of params — validated/checkpointed in
+    # place of the raw params when enabled (classic trick the reference
+    # lacks; the EMA point is usually a better generalizer late in
+    # training and is what beats the raw trajectory's best val).
+    ema_params = jax.tree.map(jnp.asarray, state.params) if ema_decay > 0 else None
+
+    @jax.jit
+    def ema_update(ema, params):
+        return jax.tree.map(lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params)
+
+    def eval_view(state: Any) -> Any:
+        return state.replace(params=ema_params) if ema_params is not None else state
+
     best_val_acc = float("-inf")
     patience_counter = 0
     start_time = time.time()
@@ -223,11 +247,13 @@ def train_model(
                 imgs = augment_classification_batch(sub, imgs)
             labs = jnp.asarray(data.train_labels[idx])
             state, metrics = train_step(state, imgs, labs)
+            if ema_params is not None:
+                ema_params = ema_update(ema_params, state.params)
             epoch_loss += float(metrics["loss"]) * len(idx)
             correct_sum += float(metrics["accuracy"]) * len(idx)
             seen += len(idx)
 
-        val_loss, val_acc = run_validation(state)
+        val_loss, val_acc = run_validation(eval_view(state))
         run.log(
             {
                 "epoch": epoch,
@@ -251,7 +277,9 @@ def train_model(
             save_checkpoint(
                 checkpoint_path,
                 {
-                    "params": jax.tree.map(np.asarray, state.params),
+                    "params": jax.tree.map(
+                        np.asarray, ema_params if ema_params is not None else state.params
+                    ),
                     "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
                 },
                 {"best_val_score": best_val_acc, "epoch": epoch, "training_config": training_config},
@@ -320,6 +348,8 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     parser.add_argument("--label-smoothing", type=float, default=0.0)
     parser.add_argument("--freeze-bn", action="store_true", help="fine-tune with frozen BatchNorm running stats")
+    parser.add_argument("--ema-decay", type=float, default=0.0, help="validate/checkpoint an EMA of params (0 = off, try 0.999)")
+    parser.add_argument("--schedule", choices=("step", "cosine"), default="step", help="LR schedule: reference StepLR or warmup-cosine")
     parser.add_argument("--promote", action="store_true")
     return parser.parse_args()
 
@@ -345,6 +375,8 @@ def main() -> None:
         resume=args.resume,
         label_smoothing=args.label_smoothing,
         freeze_bn=args.freeze_bn,
+        ema_decay=args.ema_decay,
+        schedule_kind=args.schedule,
     )
     from pathlib import Path
 

@@ -1,6 +1,9 @@
 """Packed-input engine paths: parity with the all-device pipeline."""
 
+from pathlib import Path
+
 import numpy as np
+import pytest
 
 from chessvision_tpu.engine import Engine, pack_inputs, pack_inputs_yuv
 from tests.test_engine import StubClassifier, StubExtractor, _quad_logits, _start_position_logits
@@ -100,3 +103,38 @@ def test_yuv_comp_reconstruction_accuracy() -> None:
     err = np.abs(rec - comp_exact.astype(np.float64))
     assert err.mean() < 1.5, err.mean()
     assert np.percentile(err, 99) <= 6.0, np.percentile(err, 99)
+
+
+@pytest.mark.slow
+def test_yuv_fen_agreement_on_test_set() -> None:
+    """The approximate YUV mode must keep high FEN agreement with the exact
+    packed path on data/test using the real promoted weights (measured
+    33/38 at round 2; gate at >=30/38 found-and-FEN agreement so chroma
+    reconstruction changes cannot silently degrade the mode)."""
+    import cv2
+
+    from chessvision_tpu import ChessVision, constants
+
+    test_root = Path(constants.DATA_ROOT) / "test"
+    paths = sorted(test_root.glob("*/raw/*.JPG"))
+    if not paths or not Path("weights/best_classifier.npz").exists():
+        pytest.skip("needs data/test and promoted weights")
+    imgs = np.stack([cv2.imread(str(p)) for p in paths])
+    engine = ChessVision(lazy_load=False).engine
+
+    exact = engine.process_batch(imgs)
+    y, cb, cr = pack_inputs_yuv(imgs)
+    out = engine.run_yuv(y, cb, cr)
+    from chessvision_tpu.engine import validate_labels_batch
+    from chessvision_tpu.chessboard import labels_to_fen
+
+    probs = np.asarray(out["probabilities"])
+    found = np.asarray(out["found"])
+    names = constants.SQUARE_NAMES_NORMAL
+    validated, _ = validate_labels_batch(probs, names)
+    yuv_fens = [
+        labels_to_fen(validated[i], names) if found[i] else "" for i in range(len(found))
+    ]
+    assert list(found) == list(exact.board_found)
+    agree = sum(1 for a, b in zip(yuv_fens, exact.fens) if a == b)
+    assert agree >= int(0.78 * len(paths)), f"only {agree}/{len(paths)} FENs agree"
