@@ -81,6 +81,69 @@ def clean_uploads_folder(root: str | Path) -> None:
     init_uploads_folder(root)
 
 
+class _MicroBatcher:
+    """Coalesces concurrent requests into ONE engine batch.
+
+    The engine is batched end-to-end, so N simultaneous uploads cost one
+    fused device program instead of N serialized B=1 calls (~the
+    difference between ~5 req/s and hundreds under load).  A worker
+    thread drains whatever is queued (no added latency when idle — the
+    first request is processed immediately), groups by (flip, shape),
+    and pads each group to the next power of two so at most log2(cap)
+    batch shapes ever compile.  The reference's Flask endpoint has no
+    analogue — every request pays a full per-image pipeline
+    (cv_endpoint.py:136-192)."""
+
+    def __init__(self, engine: Any, max_batch: int = 16) -> None:
+        import queue
+
+        self.engine = engine
+        self.max_batch = max_batch
+        self.q: "queue.Queue" = queue.Queue()
+        self._queue_mod = queue
+        t = threading.Thread(target=self._loop, daemon=True, name="cv-microbatch")
+        t.start()
+
+    def submit(self, img: np.ndarray, flip: bool) -> tuple[bool, str, np.ndarray]:
+        ev = threading.Event()
+        slot: dict[str, Any] = {}
+        self.q.put((img, bool(flip), ev, slot))
+        ev.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["found"], slot["fen"], slot["conf"]
+
+    def _loop(self) -> None:
+        while True:
+            items = [self.q.get()]
+            while len(items) < self.max_batch:
+                try:
+                    items.append(self.q.get_nowait())
+                except self._queue_mod.Empty:
+                    break
+            groups: dict[tuple, list] = {}
+            for it in items:
+                groups.setdefault((it[1], it[0].shape), []).append(it)
+            for (flip, _shape), group in groups.items():
+                try:
+                    n = len(group)
+                    imgs = np.stack([it[0] for it in group])
+                    padded = 1 << (n - 1).bit_length()
+                    if padded > n:
+                        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padded - n, axis=0)])
+                    batch = self.engine.process_batch(imgs, flip=flip, lite=True)
+                    for i, (_, _, ev, slot) in enumerate(group):
+                        slot["found"] = bool(batch.board_found[i])
+                        slot["fen"] = batch.fens[i]
+                        slot["conf"] = np.max(batch.probabilities[i], axis=1)
+                        ev.set()
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("micro-batch failed")
+                    for _, _, ev, slot in group:
+                        slot["error"] = str(e)
+                        ev.set()
+
+
 class ChessVisionService:
     """Holds the model + persistence dirs; handler delegates here."""
 
@@ -93,6 +156,9 @@ class ChessVisionService:
             logger.info("Eager-loading ChessVision models...")
             cv_model = ChessVision(lazy_load=False)
         self.cv = cv_model
+        self.batcher = (
+            _MicroBatcher(cv_model.engine) if local and hasattr(cv_model, "engine") else None
+        )
         self.upload_root = Path(upload_root or "user_uploads")
         init_uploads_folder(self.upload_root)
 
@@ -132,17 +198,16 @@ class ChessVisionService:
 
         raw_id = str(uuid.uuid4())
         t0 = time.time()
-        with self.lock:
-            if self.local and hasattr(self.cv, "engine"):
-                # latency path: no board/mask transfers (nothing persisted
-                # in LOCAL mode) — ~3× lower p50 than the full result
-                batch = self.cv.engine.process_batch(img[None], flip=bool(flip), lite=True)
-                if not batch.board_found[0]:
-                    return 400, {"success": False, "error": "No chessboard detected"}
-                fen = batch.fens[0]
-                confidences = np.max(batch.probabilities[0], axis=1)
-                elapsed = time.time() - t0
-            else:
+        if self.batcher is not None:
+            # latency path: lite engine outputs (no board/mask transfers —
+            # nothing persisted in LOCAL mode), with concurrent requests
+            # coalesced into one device batch by the micro-batcher
+            found, fen, confidences = self.batcher.submit(img, bool(flip))
+            if not found:
+                return 400, {"success": False, "error": "No chessboard detected"}
+            elapsed = time.time() - t0
+        else:
+            with self.lock:
                 result = self.cv.process_image(img, flip=bool(flip))
                 if result.position is None:
                     return 400, {"success": False, "error": "No chessboard detected"}

@@ -141,3 +141,83 @@ def test_no_board_detected(tmp_path) -> None:
         assert body["error"] == "No chessboard detected"
     finally:
         server.shutdown()
+
+
+class StubEngine:
+    """Counts process_batch calls; slow enough that concurrent requests
+    pile up behind the first and get coalesced."""
+
+    def __init__(self):
+        self.calls: list[int] = []
+
+    def process_batch(self, imgs, threshold=0.5, flip=False, lite=False):
+        import time
+
+        from chessvision_tpu.cv_types import BatchResult
+
+        self.calls.append(len(imgs))
+        time.sleep(0.25)
+        b = len(imgs)
+        probs = np.zeros((b, 64, 13), np.float32)
+        probs[:, :, constants.LABEL_INDICES["f"]] = 1.0
+        return BatchResult(
+            logits=np.zeros((b, 0, 0), np.float32),
+            binary_mask=np.zeros((b, 0, 0), np.uint8),
+            quadrangle=np.zeros((b, 4, 2), np.float32),
+            board_found=np.ones(b, bool),
+            board_image=np.zeros((b, 0, 0), np.uint8),
+            probabilities=probs,
+            fens=["8/8/8/8/8/8/8/8"] * b,
+            original_fens=["8/8/8/8/8/8/8/8"] * b,
+            validation_fixes=[[] for _ in range(b)],
+        )
+
+
+def test_microbatcher_coalesces_concurrent_requests(tmp_path):
+    """N simultaneous uploads must become far fewer engine batches (the
+    engine is batched end-to-end; serialized B=1 calls were the old
+    behavior and its throughput ceiling)."""
+    import cv2
+
+    class EngineCV:
+        pass
+
+    cv_model = EngineCV()
+    cv_model.engine = StubEngine()
+    server = serve(port=0, local=True, cv_model=cv_model, upload_root=str(tmp_path))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.zeros((64, 64, 3), np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        payload = json.dumps(
+            {"image": base64.b64encode(enc.tobytes()).decode(), "flip": False}
+        ).encode()
+
+        results = []
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/cv_algo/",
+                data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            results.append(json.loads(urllib.request.urlopen(req, timeout=30).read()))
+
+        n = 8
+        threads = [threading.Thread(target=post) for _ in range(n)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
+        assert len(results) == n and all(r["success"] for r in results)
+        calls = cv_model.engine.calls
+        assert len(calls) < n, f"no coalescing happened: {calls}"
+        assert max(calls) > 1, f"never batched: {calls}"
+        # padding keeps compiled batch shapes to powers of two
+        assert all(c & (c - 1) == 0 for c in calls), calls
+    finally:
+        server.shutdown()
