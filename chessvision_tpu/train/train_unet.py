@@ -54,6 +54,7 @@ def train_model(
     model_id: str = "unet",
     optimizer: str = "rmsprop",
     resume: str | None = None,
+    ema_decay: float = 0.0,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -237,6 +238,17 @@ def train_model(
         if weights is None:
             weights = data.train_masks.mean(axis=(1, 2)) + 0.05
 
+    # EMA of params — validated/checkpointed in place of the raw params
+    # when enabled (same semantics as the classifier trainer's --ema-decay)
+    ema_params = jax.tree.map(jnp.asarray, state.params) if ema_decay > 0 else None
+
+    @jax.jit
+    def ema_update(ema, params):
+        return jax.tree.map(lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params)
+
+    def eval_view(st):
+        return st.replace(params=ema_params) if ema_params is not None else st
+
     steps_per_epoch = max(1, n_train // batch_size)
     validation_interval = max(1, steps_per_epoch // validations_per_epoch)
     best_val_score = float("-inf")
@@ -261,11 +273,13 @@ def train_model(
                 key, sub = jax.random.split(key)
                 imgs, msks = augment_segmentation_batch(sub, imgs, msks)
             state, metrics = train_step(state, imgs, msks)
+            if ema_params is not None:
+                ema_params = ema_update(ema_params, state.params)
             global_step += 1
             epoch_loss += float(metrics["loss"])
 
             if i > 0 and i % validation_interval == 0:
-                val_score = run_validation(state)
+                val_score = run_validation(eval_view(state))
                 # plateau LR schedule (mode max, patience 3, factor 0.1)
                 if val_score > plateau_best + 1e-6:
                     plateau_best = val_score
@@ -286,7 +300,9 @@ def train_model(
             save_checkpoint(
                 checkpoint_path,
                 {
-                    "params": jax.tree.map(np.asarray, state.params),
+                    "params": jax.tree.map(
+                        np.asarray, ema_params if ema_params is not None else state.params
+                    ),
                     "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
                 },
                 {"best_val_score": best_val_score, "epoch": epoch, "training_config": training_config},
@@ -350,6 +366,7 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--patience", type=int, default=5)
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--bilinear", action="store_true", default=False)
+    parser.add_argument("--ema-decay", type=float, default=0.0, help="validate/checkpoint an EMA of params (0 = off)")
     parser.add_argument("--base", type=int, default=64)
     parser.add_argument("--no-augment", action="store_true", default=False)
     parser.add_argument("--model-id", type=str, default="unet", help="unet or yolo")
@@ -379,6 +396,7 @@ def main() -> None:
         model_id=args.model_id,
         optimizer=args.optimizer,
         resume=args.resume,
+        ema_decay=args.ema_decay,
     )
     from pathlib import Path
 
