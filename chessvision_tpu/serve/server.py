@@ -162,6 +162,20 @@ class ChessVisionService:
         self.upload_root = Path(upload_root or "user_uploads")
         init_uploads_folder(self.upload_root)
 
+    def warmup(self, image_hw: tuple[int, int] = (512, 512)) -> None:
+        """Pre-compile the lite engine program at every micro-batch shape
+        (1, 2, ..., cap) so no client request ever pays a first-compile
+        stall (remote XLA compiles run minutes on some backends; the
+        persistent compilation cache makes this a no-op on warm hosts)."""
+        if self.batcher is None:
+            return
+        b = 1
+        while b <= self.batcher.max_batch:
+            zeros = np.zeros((b, *image_hw, 3), np.uint8)
+            self.cv.engine.process_batch(zeros, lite=True)
+            logger.info("warmup: lite batch %d compiled", b)
+            b *= 2
+
     # -- request handlers ------------------------------------------------------
 
     def cv_algo(self, payload: dict[str, Any]) -> tuple[int, dict[str, Any]]:
@@ -336,8 +350,16 @@ def _parse_multipart(body: bytes, content_type: str) -> tuple[bytes | None, bool
     return image_bytes, flip
 
 
-def serve(port: int = 7777, local: bool = True, cv_model: Any = None, upload_root: str | None = None) -> ThreadingHTTPServer:
+def serve(
+    port: int = 7777,
+    local: bool = True,
+    cv_model: Any = None,
+    upload_root: str | None = None,
+    warmup: bool = False,
+) -> ThreadingHTTPServer:
     service = ChessVisionService(local=local, cv_model=cv_model, upload_root=upload_root)
+    if warmup:
+        service.warmup()
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
     logger.info("chessvision-tpu compute endpoint on :%d (local=%s)", port, local)
     return server
@@ -351,13 +373,14 @@ def main() -> None:
     parser.add_argument("--local", action="store_true", default=bool(os.getenv("LOCAL")))
     parser.add_argument("--upload-root", type=str, default=None)
     parser.add_argument("--clean-uploads", action="store_true", help="purge + recreate the uploads tree and exit")
+    parser.add_argument("--warmup", action="store_true", help="pre-compile all micro-batch shapes before accepting traffic")
     args = parser.parse_args()
     setup_logger("chessvision_tpu")
     if args.clean_uploads:
         clean_uploads_folder(args.upload_root or "user_uploads")
         print("uploads folder reset")
         return
-    server = serve(port=args.port, local=args.local, upload_root=args.upload_root)
+    server = serve(port=args.port, local=args.local, upload_root=args.upload_root, warmup=args.warmup)
     server.serve_forever()
 
 
