@@ -152,9 +152,9 @@ def augment_segmentation_batch(key: jax.Array, images: jnp.ndarray, masks: jnp.n
     return images, masks
 
 
-@functools.partial(jax.jit, static_argnames=("photometric",))
+@functools.partial(jax.jit, static_argnames=("photometric", "cutout"))
 def augment_classification_batch(
-    key: jax.Array, images: jnp.ndarray, photometric: bool = True
+    key: jax.Array, images: jnp.ndarray, photometric: bool = True, cutout: bool = False
 ) -> jnp.ndarray:
     """(B,64,64,1) f32 in [0,1]: RandomAffine(translate ±10%, scale
     0.95–1.05) then RandomRotation(±15°) as one composed batched warp
@@ -163,7 +163,7 @@ def augment_classification_batch(
     contrast, p=0.5 blur) to close the clean-training-square vs
     warped-test-board domain gap."""
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
-    kt, ks, kr, kb, kc, kg, kp = jax.random.split(key, 7)
+    kt, ks, kr, kb, kc, kg, kp, kcut = jax.random.split(key, 8)
     txy = jax.random.uniform(kt, (b, 2), minval=-0.1, maxval=0.1) * w
     scale = jax.random.uniform(ks, (b,), minval=0.95, maxval=1.05)
     angles = jax.random.uniform(kr, (b,), minval=-15.0, maxval=15.0)
@@ -181,4 +181,19 @@ def augment_classification_batch(
         do_blur = jax.random.uniform(kp, (b,)) > 0.5
         images = _gaussian_blur3_batch(kg, images, do_blur)
         images = jnp.clip(images, 0.0, 1.0)
+
+    if cutout:
+        # random erasing (p=0.5): mean-fill a rectangle covering 10–25% of
+        # each side — simulates fingers/pieces occluding squares in photos
+        kc1, kc2, kc3 = jax.random.split(kcut, 3)
+        do_cut = jax.random.uniform(kc1, (b,)) > 0.5
+        cy_cx = jax.random.uniform(kc2, (b, 2), minval=0.1, maxval=0.9)
+        half = jax.random.uniform(kc3, (b, 2), minval=0.05, maxval=0.125)
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] / h  # (1,H,1)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] / w  # (1,1,W)
+        in_y = jnp.abs(ys - cy_cx[:, 0][:, None, None]) < half[:, 0][:, None, None]
+        in_x = jnp.abs(xs - cy_cx[:, 1][:, None, None]) < half[:, 1][:, None, None]
+        hole = (in_y & in_x & do_cut[:, None, None])[..., None]  # (B,H,W,1)
+        fill = images.mean(axis=(1, 2, 3), keepdims=True)
+        images = jnp.where(hole, fill, images)
     return images

@@ -57,6 +57,7 @@ def train_model(
     freeze_bn: bool = False,
     ema_decay: float = 0.0,
     schedule_kind: str = "step",
+    cutout: bool = False,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -244,7 +245,7 @@ def train_model(
             imgs = jnp.asarray(data.train_images[idx], jnp.float32)[..., None] / 255.0
             if augment:
                 key, sub = jax.random.split(key)
-                imgs = augment_classification_batch(sub, imgs)
+                imgs = augment_classification_batch(sub, imgs, cutout=cutout)
             labs = jnp.asarray(data.train_labels[idx])
             state, metrics = train_step(state, imgs, labs)
             if ema_params is not None:
@@ -350,6 +351,7 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--freeze-bn", action="store_true", help="fine-tune with frozen BatchNorm running stats")
     parser.add_argument("--ema-decay", type=float, default=0.0, help="validate/checkpoint an EMA of params (0 = off, try 0.999)")
     parser.add_argument("--schedule", choices=("step", "cosine"), default="step", help="LR schedule: reference StepLR or warmup-cosine")
+    parser.add_argument("--cutout", action="store_true", help="random-erasing augmentation (occlusion robustness)")
     parser.add_argument("--promote", action="store_true")
     return parser.parse_args()
 
@@ -377,6 +379,7 @@ def main() -> None:
         freeze_bn=args.freeze_bn,
         ema_decay=args.ema_decay,
         schedule_kind=args.schedule,
+        cutout=args.cutout,
     )
     from pathlib import Path
 

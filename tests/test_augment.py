@@ -94,3 +94,29 @@ def test_twopass_matches_bilinear_at_moderate_rotation() -> None:
         b = np.asarray(warp_perspective(img, m, (64, 64), method="bilinear"))
         # interiors agree to interpolation-footprint differences
         assert np.abs(a - b)[8:-8, 8:-8].mean() < 0.02, ang
+
+
+def test_classification_cutout_erases_and_preserves_shape() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chessvision_tpu.train.augment import augment_classification_batch
+
+    imgs = jnp.ones((16, 64, 64, 1), jnp.float32) * 0.8
+    out = augment_classification_batch(
+        jax.random.PRNGKey(0), imgs, photometric=False, cutout=True
+    )
+    assert out.shape == imgs.shape
+    # the geometric warp runs in both calls with the same key, so the
+    # cutout=True/False difference isolates the erasing: with p=0.5 over
+    # 16 samples some must differ (a filled rectangle) and some must not
+    grad = jnp.broadcast_to(jnp.linspace(0, 1, 64)[None, :, None, None], imgs.shape)
+    with_cut = augment_classification_batch(
+        jax.random.PRNGKey(0), grad, photometric=False, cutout=True
+    )
+    without = augment_classification_batch(
+        jax.random.PRNGKey(0), grad, photometric=False, cutout=False
+    )
+    changed = np.asarray(jnp.any(jnp.abs(with_cut - without) > 1e-6, axis=(1, 2, 3)))
+    assert changed.any() and not changed.all()
