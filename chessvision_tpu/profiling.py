@@ -62,7 +62,7 @@ def profile_engine_stages(cv_model: Any, batch_size: int = 32, iters: int = 5) -
     ex_mod, _, ex_vars = cv_model.board_extractor
     cl_mod, cl_spec, cl_vars = cv_model.classifier
 
-    resize_fn = jax.jit(lambda im: ops.resize(im, constants.INPUT_SIZE, round_uint8=True))
+    resize_fn = jax.jit(lambda im: ops.resize(im, constants.INPUT_SIZE[::-1], round_uint8=True))  # (W,H) -> (H,W)
     small = resize_fn(images)
     x = small.astype(jnp.float32) / 255.0
 
