@@ -87,3 +87,56 @@ def save_eval_artifacts(
         cv2.imwrite(str(p), board_image)
         written["extracted_board"] = p
     return written
+
+
+def display_comparison(
+    result,
+    path: str | Path | None = None,
+    *,
+    show: bool = False,
+):
+    """Side-by-side input / probability mask / extracted board / predicted
+    position — the reference's ``display_comparison`` notebook helper
+    (reference utils.py:135-187), rendered with matplotlib.
+
+    ``result`` is a ``ChessVisionResult`` (core.process_image output).
+    Saves to ``path`` when given; returns the matplotlib figure.
+    """
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    board = result.board_extraction
+    n = 4 if (result.position is not None) else 2
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4))
+    axes[0].imshow(board.probabilities, cmap="viridis")
+    axes[0].set_title("segmentation probabilities")
+    axes[1].imshow(board.binary_mask, cmap="gray")
+    axes[1].set_title("binary mask")
+    if result.position is not None:
+        axes[2].imshow(board.board_image, cmap="gray")
+        axes[2].set_title("extracted board")
+        # render the predicted position into the last panel via a temp PNG
+        import tempfile
+
+        import numpy as _np
+        from PIL import Image as _Image
+
+        with tempfile.NamedTemporaryFile(suffix=".png") as tmp:
+            render_board_png(result.position.fen, tmp.name)
+            axes[3].imshow(_np.asarray(_Image.open(tmp.name)))
+        axes[3].set_title(result.position.fen.split("/")[0] + "…")
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    if path is not None:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(p, bbox_inches="tight")
+    if show:  # pragma: no cover — interactive sessions only
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig

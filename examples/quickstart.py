@@ -32,6 +32,14 @@ def main() -> None:
     print(f"fixes:         {result.position.validation_fixes}")
     print(f"time:          {result.processing_time * 1000:.1f} ms")
 
+    # side-by-side mask / board / predicted-position figure (the
+    # reference notebook's display_comparison)
+    from chessvision_tpu.eval.render import display_comparison
+
+    out = Path("/tmp/quickstart_comparison.png")
+    display_comparison(result, out)
+    print(f"comparison:    {out}")
+
 
 if __name__ == "__main__":
     main()
