@@ -173,3 +173,22 @@ def test_engine_sharded_over_mesh() -> None:
     result = eng.process_batch(images)
     assert len(result.fens) == 5
     assert result.fens == [START_FEN] * 5
+
+
+def test_engine_non_512_frames(stub_engine: Engine) -> None:
+    """Frames other than 512x512 must flow through the whole pipeline:
+    the seg input is resized from the full frame and the quadrangle is
+    scaled by orig_height/256 (reference core.py:413-417 semantics —
+    guards the (width, height) vs (height, width) conventions fixed in
+    round 2)."""
+    for hw in ((1024, 1024), (768, 768)):
+        images = np.random.default_rng(1).integers(0, 256, (2, *hw, 3), np.uint8)
+        res = stub_engine.process_batch(images)
+        assert list(res.board_found) == [True, True]
+        assert res.board_image.shape == (2, 512, 512)
+        # stub quad spans [28, 228] in mask space; scaled by h/256
+        sf = hw[0] / 256.0
+        assert res.quadrangle.max() <= 256.0 * sf
+        assert res.quadrangle.max() > 200.0 * sf
+        assert all(f == res.fens[0] for f in res.fens)
+        assert res.fens[0]  # non-empty FEN
