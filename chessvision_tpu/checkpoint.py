@@ -87,9 +87,14 @@ def promote_checkpoint(src: str | Path, dest: str | Path, compress: bool = True)
     """Copy a training checkpoint to a weights/ path, dropping optimizer
     state and (optionally) storing float params as float16 — a ~2×
     smaller distribution artifact; loaders upcast to float32.  BatchNorm
-    running stats stay float32."""
+    running stats stay float32.  If the trainer stored an EMA view
+    (``ema_params``, see --ema-decay), that is what ships as ``params``
+    — the raw trajectory stays behind in the training checkpoint."""
     variables, metadata = load_checkpoint(src)
     variables.pop("opt_state", None)
+    ema = variables.pop("ema_params", None)
+    if ema is not None:
+        variables["params"] = ema
     if compress:
         def shrink(tree):
             return {

@@ -56,7 +56,13 @@ def _arch_kwargs_from_metadata(metadata: dict, model_id: str) -> dict:
 
 def _load_variables(path: str) -> tuple[dict, dict]:
     variables, metadata = load_checkpoint(path)
-    return dict(variables), metadata
+    variables = dict(variables)
+    variables.pop("opt_state", None)
+    # a training checkpoint with an EMA view loads like its promoted form
+    ema = variables.pop("ema_params", None)
+    if ema is not None:
+        variables["params"] = ema
+    return variables, metadata
 
 
 class ChessVision:

@@ -93,13 +93,16 @@ def display_comparison(
     result,
     path: str | Path | None = None,
     *,
+    image=None,
     show: bool = False,
 ):
     """Side-by-side input / probability mask / extracted board / predicted
     position — the reference's ``display_comparison`` notebook helper
     (reference utils.py:135-187), rendered with matplotlib.
 
-    ``result`` is a ``ChessVisionResult`` (core.process_image output).
+    ``result`` is a ``ChessVisionResult`` (core.process_image output);
+    ``image`` is the original BGR input frame (reference panel 0 —
+    results don't retain it, so pass it explicitly to get that panel).
     Saves to ``path`` when given; returns the matplotlib figure.
     """
     import matplotlib
@@ -109,15 +112,24 @@ def display_comparison(
     import matplotlib.pyplot as plt
 
     board = result.board_extraction
-    n = 4 if (result.position is not None) else 2
+    base = 2 + (1 if image is not None else 0)
+    n = base + (2 if result.position is not None else 0)
     fig, axes = plt.subplots(1, n, figsize=(4 * n, 4))
-    axes[0].imshow(board.probabilities, cmap="viridis")
-    axes[0].set_title("segmentation probabilities")
-    axes[1].imshow(board.binary_mask, cmap="gray")
-    axes[1].set_title("binary mask")
+    col = 0
+    if image is not None:
+        axes[col].imshow(np.asarray(image)[..., ::-1])  # BGR → RGB
+        axes[col].set_title("input")
+        col += 1
+    # .probabilities stores raw logits (core.py stores result.logits
+    # there) — squash through a sigmoid so the panel shows probabilities
+    axes[col].imshow(1.0 / (1.0 + np.exp(-np.asarray(board.probabilities, np.float32))),
+                     cmap="viridis", vmin=0.0, vmax=1.0)
+    axes[col].set_title("segmentation probabilities")
+    axes[col + 1].imshow(board.binary_mask, cmap="gray")
+    axes[col + 1].set_title("binary mask")
     if result.position is not None:
-        axes[2].imshow(board.board_image, cmap="gray")
-        axes[2].set_title("extracted board")
+        axes[col + 2].imshow(board.board_image, cmap="gray")
+        axes[col + 2].set_title("extracted board")
         # render the predicted position into the last panel via a temp PNG
         import tempfile
 
@@ -126,8 +138,8 @@ def display_comparison(
 
         with tempfile.NamedTemporaryFile(suffix=".png") as tmp:
             render_board_png(result.position.fen, tmp.name)
-            axes[3].imshow(_np.asarray(_Image.open(tmp.name)))
-        axes[3].set_title(result.position.fen.split("/")[0] + "…")
+            axes[col + 3].imshow(_np.asarray(_Image.open(tmp.name)))
+        axes[col + 3].set_title(result.position.fen.split("/")[0] + "…")
     for ax in axes:
         ax.axis("off")
     fig.tight_layout()

@@ -189,14 +189,32 @@ def enrich_table(
             # threaded C++ decode+INTER_AREA straight into one NHWC batch —
             # the hot host stage of ingestion (decode error → zeroed frame,
             # dropped below like a cv2.imread failure)
-            loaded, _ = native_loader.load_batch(
+            loaded, n_failures = native_loader.load_batch(
                 [str(p) for p in chunk], image_size, image_size
             )
-            pairs = [
-                (img, table["example_id"][start + i])
-                for i, img in enumerate(loaded)
-                if img.sum() > 0
-            ]
+            if n_failures == 0:
+                # nothing failed to decode — keep every slot, including a
+                # legitimately all-black image
+                pairs = [
+                    (img, table["example_id"][start + i]) for i, img in enumerate(loaded)
+                ]
+            else:
+                # failed slots come back zeroed; drop those and cross-check
+                # the count against what the loader reported
+                pairs = [
+                    (img, table["example_id"][start + i])
+                    for i, img in enumerate(loaded)
+                    if img.sum() > 0
+                ]
+                n_dropped = len(loaded) - len(pairs)
+                if n_dropped != n_failures:
+                    logger.warning(
+                        "native loader reported %d decode failures but %d zeroed "
+                        "frames were dropped — an all-black source image may have "
+                        "been discarded",
+                        n_failures,
+                        n_dropped,
+                    )
         else:
             pairs = []
             for i, p in enumerate(chunk):

@@ -94,11 +94,14 @@ class _MicroBatcher:
     analogue — every request pays a full per-image pipeline
     (cv_endpoint.py:136-192)."""
 
-    def __init__(self, engine: Any, max_batch: int = 16) -> None:
+    def __init__(self, engine: Any, max_batch: int = 16, timeout_s: float = 300.0) -> None:
         import queue
 
         self.engine = engine
         self.max_batch = max_batch
+        # generous: a cold batch shape pays a full XLA compile; warmed
+        # shapes answer in well under a second
+        self.timeout_s = timeout_s
         self.q: "queue.Queue" = queue.Queue()
         self._queue_mod = queue
         t = threading.Thread(target=self._loop, daemon=True, name="cv-microbatch")
@@ -108,7 +111,12 @@ class _MicroBatcher:
         ev = threading.Event()
         slot: dict[str, Any] = {}
         self.q.put((img, bool(flip), ev, slot))
-        ev.wait()
+        if not ev.wait(timeout=self.timeout_s):
+            # worker wedged or dead — fail this request instead of hanging
+            # the connection forever (mapped to 503 by the handler)
+            raise TimeoutError(
+                f"micro-batch worker did not answer within {self.timeout_s:.0f}s"
+            )
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["found"], slot["fen"], slot["conf"]
@@ -318,6 +326,9 @@ def make_handler(service: ChessVisionService) -> type[BaseHTTPRequestHandler]:
                     status, resp = service.feedback(json.loads(body or b"{}"))
                 else:
                     status, resp = 404, {"error": "not found"}
+            except TimeoutError as e:
+                logger.exception("Request timed out in the micro-batcher")
+                status, resp = 503, {"success": False, "error": str(e)}
             except Exception as e:  # noqa: BLE001
                 logger.exception("Request failed")
                 status, resp = 500, {"success": False, "error": str(e)}

@@ -163,7 +163,10 @@ def augment_classification_batch(
     contrast, p=0.5 blur) to close the clean-training-square vs
     warped-test-board domain gap."""
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
-    kt, ks, kr, kb, kc, kg, kp, kcut = jax.random.split(key, 8)
+    kt, ks, kr, kb, kc, kg, kp = jax.random.split(key, 7)
+    # derived (not split(key, 8)) so enabling cutout leaves every
+    # pre-existing augmentation's random stream untouched at a given seed
+    kcut = jax.random.fold_in(kp, 1)
     txy = jax.random.uniform(kt, (b, 2), minval=-0.1, maxval=0.1) * w
     scale = jax.random.uniform(ks, (b,), minval=0.95, maxval=1.05)
     angles = jax.random.uniform(kr, (b,), minval=-15.0, maxval=15.0)

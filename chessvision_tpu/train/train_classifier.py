@@ -132,6 +132,7 @@ def train_model(
     )
 
     start_epoch = 1
+    resumed_ema = None
     if resume:
         # real resume (the reference's --resume flag is unwired,
         # train_classifier.py:349): params + BN stats + optimizer state +
@@ -140,6 +141,7 @@ def train_model(
         from chessvision_tpu.checkpoint import load_opt_state_leaves
 
         loaded, res_meta = _load(resume)
+        resumed_ema = loaded.get("ema_params")
         state = state.replace(
             params=jax.tree.map(jnp.asarray, loaded["params"]),
             batch_stats=jax.tree.map(jnp.asarray, loaded["batch_stats"]),
@@ -220,11 +222,15 @@ def train_model(
             counts = np.bincount(data.train_labels, minlength=constants.NUM_CLASSES)
             weights = (1.0 / np.maximum(counts, 1))[data.train_labels]
 
-    # Exponential moving average of params — validated/checkpointed in
-    # place of the raw params when enabled (classic trick the reference
+    # Exponential moving average of params — validated/checkpointed
+    # alongside the raw params when enabled (classic trick the reference
     # lacks; the EMA point is usually a better generalizer late in
-    # training and is what beats the raw trajectory's best val).
-    ema_params = jax.tree.map(jnp.asarray, state.params) if ema_decay > 0 else None
+    # training and is what beats the raw trajectory's best val).  On
+    # resume, pick the saved EMA back up where it left off.
+    ema_params = None
+    if ema_decay > 0:
+        src = resumed_ema if resumed_ema is not None else state.params
+        ema_params = jax.tree.map(jnp.asarray, src)
 
     @jax.jit
     def ema_update(ema, params):
@@ -275,14 +281,18 @@ def train_model(
         if val_acc > best_val_acc:
             best_val_acc = val_acc
             patience_counter = 0
+            # raw params stay paired with opt_state (a consistent resume
+            # point); the EMA view — the one validated and promoted for
+            # inference — is stored separately under "ema_params"
+            variables = {
+                "params": jax.tree.map(np.asarray, state.params),
+                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            }
+            if ema_params is not None:
+                variables["ema_params"] = jax.tree.map(np.asarray, ema_params)
             save_checkpoint(
                 checkpoint_path,
-                {
-                    "params": jax.tree.map(
-                        np.asarray, ema_params if ema_params is not None else state.params
-                    ),
-                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-                },
+                variables,
                 {"best_val_score": best_val_acc, "epoch": epoch, "training_config": training_config},
                 opt_state=jax.tree.map(np.asarray, state.opt_state),
             )

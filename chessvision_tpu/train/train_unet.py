@@ -133,11 +133,13 @@ def train_model(
     )
 
     start_epoch = 1
+    resumed_ema = None
     if resume:
         from chessvision_tpu.checkpoint import load_checkpoint as _load
         from chessvision_tpu.checkpoint import load_opt_state_leaves
 
         loaded, res_meta = _load(resume)
+        resumed_ema = loaded.get("ema_params")
         state = state.replace(
             params=jax.tree.map(jnp.asarray, loaded["params"]),
             batch_stats=jax.tree.map(jnp.asarray, loaded["batch_stats"]),
@@ -238,9 +240,13 @@ def train_model(
         if weights is None:
             weights = data.train_masks.mean(axis=(1, 2)) + 0.05
 
-    # EMA of params — validated/checkpointed in place of the raw params
-    # when enabled (same semantics as the classifier trainer's --ema-decay)
-    ema_params = jax.tree.map(jnp.asarray, state.params) if ema_decay > 0 else None
+    # EMA of params — validated/checkpointed alongside the raw params
+    # when enabled (same semantics as the classifier trainer's
+    # --ema-decay); picked back up from "ema_params" on resume
+    ema_params = None
+    if ema_decay > 0:
+        src = resumed_ema if resumed_ema is not None else state.params
+        ema_params = jax.tree.map(jnp.asarray, src)
 
     @jax.jit
     def ema_update(ema, params):
@@ -297,14 +303,18 @@ def train_model(
         if val_score > best_val_score:
             best_val_score = val_score
             patience_counter = 0
+            # raw params stay paired with opt_state (a consistent resume
+            # point); the EMA view — the one validated and promoted for
+            # inference — is stored separately under "ema_params"
+            variables = {
+                "params": jax.tree.map(np.asarray, state.params),
+                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            }
+            if ema_params is not None:
+                variables["ema_params"] = jax.tree.map(np.asarray, ema_params)
             save_checkpoint(
                 checkpoint_path,
-                {
-                    "params": jax.tree.map(
-                        np.asarray, ema_params if ema_params is not None else state.params
-                    ),
-                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-                },
+                variables,
                 {"best_val_score": best_val_score, "epoch": epoch, "training_config": training_config},
                 opt_state=jax.tree.map(np.asarray, state.opt_state),
             )

@@ -1,0 +1,125 @@
+"""Worker process for the real 2-process ``jax.distributed`` test.
+
+Launched (not collected) by ``tests/test_mesh_distributed.py``: each of the
+two worker processes forces the CPU platform with 4 virtual devices, joins
+the cluster through ``initialize_distributed``, builds the global 8-device
+mesh, feeds its process-local slice of a deterministic global batch through
+``jax.make_array_from_process_local_data`` + ``process_local_batch_slice``,
+runs ONE sharded segmentation train step, and writes the (replicated) loss
+/ dice / updated-param norm to a JSON file for the parent to compare
+against the single-process step.  This executes the multi-host layer for
+real — coordinator service, cross-process mesh, DCN-spanning batch
+sharding — on localhost (SURVEY §2.5/§5.8; the reference's nearest
+analogue is DataLoader worker processes, train_unet.py:186-205).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    # per-process virtual CPU device count (replace any inherited setting)
+    flags = os.environ.get("XLA_FLAGS", "")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={args.local_devices}"
+    ).strip()
+
+    import jax
+
+    # the image's sitecustomize preloads the TPU plugin; env vars are too
+    # late — switch platforms via jax.config before any backend query
+    jax.config.update("jax_platforms", "cpu")
+
+    from chessvision_tpu.parallel.mesh import (
+        create_mesh,
+        data_sharding,
+        initialize_distributed,
+        process_local_batch_slice,
+        replicate,
+    )
+
+    # must run before backends initialize
+    idx = initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+    assert idx == args.process_id, (idx, args.process_id)
+    assert jax.process_count() == args.num_processes
+    n_global = args.local_devices * args.num_processes
+    assert len(jax.devices()) == n_global, len(jax.devices())
+    assert len(jax.local_devices()) == args.local_devices
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chessvision_tpu import models
+    from chessvision_tpu.train.steps import (
+        TrainState,
+        make_optimizer,
+        make_seg_train_step,
+    )
+
+    # identical seeds on every process → identical init; replicate spans
+    # the full (cross-process) mesh
+    unet, _ = models.create_extractor("unet", base=4)
+    variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    tx = make_optimizer("rmsprop", 1e-4, momentum=0.999, gradient_clipping=1.0)
+    state = TrainState.create(
+        apply_fn=unet.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    mesh = create_mesh()
+    assert len(mesh.devices.ravel()) == n_global
+    state = jax.device_put(state, replicate(mesh))
+
+    # the global batch every process can *construct*, but each only
+    # *loads* (device_puts) its own slice — the multi-host input pipeline
+    global_batch = 8
+    rng = np.random.default_rng(0)
+    images = rng.random((global_batch, 32, 32, 3)).astype(np.float32)
+    masks = (rng.random((global_batch, 32, 32)) > 0.5).astype(np.float32)
+    start, stop = process_local_batch_slice(global_batch)
+    imgs_g = jax.make_array_from_process_local_data(
+        data_sharding(mesh, 4), images[start:stop]
+    )
+    masks_g = jax.make_array_from_process_local_data(
+        data_sharding(mesh, 3), masks[start:stop]
+    )
+    assert imgs_g.shape == (global_batch, 32, 32, 3)
+
+    step = make_seg_train_step(mesh)
+    new_state, metrics = step(state, imgs_g, masks_g)
+
+    # scalars/params are fully replicated → every process can read them
+    sq = [jnp.vdot(x, x) for x in jax.tree.leaves(new_state.params)]
+    pnorm = jnp.sqrt(jnp.sum(jnp.stack(sq)))
+    record = {
+        "process_id": args.process_id,
+        "process_count": int(jax.process_count()),
+        "n_devices": int(len(jax.devices())),
+        "batch_slice": [int(start), int(stop)],
+        "loss": float(np.asarray(metrics["loss"])),
+        "dice": float(np.asarray(metrics["dice"])),
+        "param_norm": float(np.asarray(pnorm)),
+    }
+    with open(f"{args.out}.{args.process_id}.json", "w") as f:
+        json.dump(record, f)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

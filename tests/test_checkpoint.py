@@ -68,6 +68,36 @@ def test_promote_fp16_roundtrip(small_state) -> None:
     assert y.shape == (1, 13)
 
 
+def test_ema_checkpoint_keeps_raw_params_and_promotes_ema(small_state) -> None:
+    """EMA-enabled checkpoints store the raw trajectory under 'params'
+    (consistent with opt_state for resume) and the EMA view under
+    'ema_params'; promotion ships the EMA view as 'params'."""
+    model, variables, opt_state, tmp_path = small_state
+    ema = jax.tree.map(lambda x: np.asarray(x) + 1.0, variables["params"])
+    src = tmp_path / "train_ema.npz"
+    save_checkpoint(
+        src,
+        {**variables, "ema_params": ema},
+        {"epoch": 3},
+        opt_state=opt_state,
+    )
+
+    loaded, _ = load_checkpoint(src)
+    # raw params and opt_state both present — a consistent resume pair
+    for a, b in zip(jax.tree.leaves(loaded["params"]), jax.tree.leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert load_opt_state_leaves(loaded) is not None
+    for a, b in zip(jax.tree.leaves(loaded["ema_params"]), jax.tree.leaves(ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    dest = promote_checkpoint(src, tmp_path / "best_ema.npz", compress=False)
+    promoted, _ = load_checkpoint(dest)
+    assert "ema_params" not in promoted
+    assert load_opt_state_leaves(promoted) is None
+    for a, b in zip(jax.tree.leaves(promoted["params"]), jax.tree.leaves(ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_metadata_driven_model_reconstruction(tmp_path, monkeypatch) -> None:
     """A checkpoint trained with non-default architecture kwargs loads
     into the correctly-sized module via training_config metadata."""

@@ -1,6 +1,15 @@
-"""initialize_distributed behavior: engagement gates and failure modes."""
+"""initialize_distributed behavior: engagement gates, failure modes, and a
+REAL 2-process ``jax.distributed`` localhost cluster run."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
 
 import jax
+import numpy as np
 import pytest
 
 from chessvision_tpu.parallel import mesh
@@ -36,3 +45,103 @@ def test_env_marker_autodetect_falls_through(monkeypatch) -> None:
         pytest.skip("distributed already initialized in this process")
     monkeypatch.setenv("CVTPU_DISTRIBUTED", "1")
     assert mesh.initialize_distributed() == jax.process_index()
+
+
+def test_two_process_distributed_step_matches_single_process(tmp_path) -> None:
+    """The real thing: a 2-process ``jax.distributed`` cluster on localhost
+    (coordinator + worker, 4 virtual CPU devices each), a mesh spanning
+    both processes, per-process batch slices assembled into one global
+    array, ONE sharded seg train step — and loss/dice/param-norm parity
+    with the plain single-process step on the identical global batch.
+
+    This executes the only layer a single-process test can't: the
+    coordination service, cross-process device mesh, and
+    ``jax.make_array_from_process_local_data`` pairing with
+    ``process_local_batch_slice``."""
+    worker = Path(__file__).parent / "distributed_worker.py"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out_base = tmp_path / "dist"
+    env = dict(os.environ)
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "CVTPU_DISTRIBUTED"):
+        env.pop(v, None)
+    repo_root = Path(__file__).parent.parent
+    env["PYTHONPATH"] = str(repo_root) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                str(worker),
+                "--coordinator",
+                f"127.0.0.1:{port}",
+                "--num-processes",
+                "2",
+                "--process-id",
+                str(i),
+                "--out",
+                str(out_base),
+            ],
+            env=env,
+            cwd=str(Path(__file__).parent.parent),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    records = [
+        json.loads((tmp_path / f"dist.{i}.json").read_text()) for i in range(2)
+    ]
+    # cluster really spanned both processes
+    for r in records:
+        assert r["process_count"] == 2
+        assert r["n_devices"] == 8
+    assert records[0]["batch_slice"] == [0, 4]
+    assert records[1]["batch_slice"] == [4, 8]
+    # replicated outputs agree bit-for-bit across processes
+    assert records[0]["loss"] == records[1]["loss"]
+    assert records[0]["param_norm"] == records[1]["param_norm"]
+
+    # single-process reference on the identical global batch
+    import jax.numpy as jnp
+
+    from chessvision_tpu import models
+    from chessvision_tpu.train.steps import (
+        TrainState,
+        make_optimizer,
+        make_seg_train_step,
+    )
+
+    unet, _ = models.create_extractor("unet", base=4)
+    variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    tx = make_optimizer("rmsprop", 1e-4, momentum=0.999, gradient_clipping=1.0)
+    state = TrainState.create(
+        apply_fn=unet.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.random((8, 32, 32, 3)).astype(np.float32)
+    masks = (rng.random((8, 32, 32)) > 0.5).astype(np.float32)
+    step = make_seg_train_step()
+    new_state, metrics = step(state, jnp.asarray(images), jnp.asarray(masks))
+    sq = [jnp.vdot(x, x) for x in jax.tree.leaves(new_state.params)]
+    pnorm = float(jnp.sqrt(jnp.sum(jnp.stack(sq))))
+
+    np.testing.assert_allclose(records[0]["loss"], float(metrics["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(records[0]["dice"], float(metrics["dice"]), rtol=1e-4)
+    np.testing.assert_allclose(records[0]["param_norm"], pnorm, rtol=1e-4)
