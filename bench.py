@@ -7,15 +7,25 @@ vs_baseline is measured against the 500 boards/sec single-chip target from
 BASELINE.json.  Uses trained weights from weights/ when present, random
 init otherwise (identical compute graph either way).
 
-Measurement order matters on this environment's tunneled TPU backend: the
-host↔device relay degrades with cumulative transfer volume within a
-process (CLAUDE.md), so all program compilation is warmed with
-device-created zeros (no host→device traffic), and the HEADLINE e2e path
-is measured first on the freshest link.  The headline path is the
-production ingest pipeline: host pack (exact INTER_AREA + fixed-point
-grayscale, 1.7× fewer bytes than raw frames, bit-identical FENs) and host
-FEN assembly — every stage of image→FEN is inside the timed loop.  The
-4:2:0 YUV mode (2.7× fewer bytes, approximate) is reported separately.
+Measurement design for this environment's tunneled TPU backend (CLAUDE.md):
+the host↔device relay degrades with cumulative transfer volume within a
+process, so path ORDER used to decide the recorded ranking.  All e2e paths
+are therefore measured ROUND-ROBIN — one iteration of each path per cycle —
+so every path sees the same average link health, and a bandwidth probe is
+taken before and after the e2e block to quantify the drift.  All program
+compilation is warmed with device-created zeros (no host→device traffic).
+
+E2e candidates, every iteration a full host-image→FEN pass (host pack,
+host→device upload, device pipeline, probabilities D2H, host validation +
+FEN strings):
+  packed  — exact INTER_AREA + fixed-point gray on host; 448 KB/board;
+            BIT-IDENTICAL FENs to raw frames.
+  yuv444  — full-res luma + full-res chroma diffs + 4-bit G residuals;
+            416 KB/board; reconstruction BIT-EXACT (38/38 FEN gate in
+            tests/test_engine_packed.py) — headline-eligible.
+  yuv420  — subsampled chroma diffs; 288 KB/board; APPROXIMATE (chroma
+            blur; 33/38 agreement measured) — reported, never headline.
+  raw     — 768 KB/board uint8 frames, all preprocessing on device.
 Measurements are synchronous (bounded queue): interleaved async uploads
 degrade this relay 3×+; on directly-attached hosts use Engine.run_stream.
 """
@@ -63,7 +73,7 @@ def main() -> None:
         args.batch_size, args.iters = 4, 2
 
     from chessvision_tpu import ChessVision, constants
-    from chessvision_tpu.engine import pack_inputs, pack_inputs_yuv
+    from chessvision_tpu.engine import pack_inputs, pack_inputs_yuv, pack_inputs_yuv444
 
     cv = ChessVision(
         board_extractor_model_id=args.extractor,
@@ -78,17 +88,18 @@ def main() -> None:
     thr = jnp.float32(0.5)
     zc = jnp.zeros((bsz, 256, 256, 3), jnp.uint8)
     zg = jnp.zeros((bsz, 512, 512), jnp.uint8)
-    out = engine._packed_program()(zc, zg, thr)
-    np.asarray(out["found"])
+    np.asarray(engine._packed_program()(zc, zg, thr)["found"])
     zy = jnp.zeros((bsz, 128, 128), jnp.uint8)
-    out = engine._yuv_program()(zg, zy, zy, thr)
-    np.asarray(out["found"])
+    np.asarray(engine._yuv_program()(zg, zy, zy, thr)["found"])
+    zy4 = jnp.zeros((bsz, 256, 256), jnp.uint8)
+    zy4r = jnp.full((bsz, 256, 128), 0x88, jnp.uint8)  # zero residuals
+    np.asarray(engine._yuv444_program()(zg, zy4, zy4, zy4r, thr)["found"])
     zr = jnp.zeros((bsz, 512, 512, 3), jnp.uint8)
-    out = engine._jitted_closed(zr, thr)
-    np.asarray(out["found"])
+    np.asarray(engine._jitted_closed(zr, thr)["found"])
     z1 = jnp.zeros((1, 512, 512, 3), jnp.uint8)
     np.asarray(engine._jitted_closed(z1, thr)["found"])
-    del zc, zg, zy, zr, z1, out
+    np.asarray(engine._jitted_lite(z1, thr)["found"])
+    del zc, zg, zy, zy4, zy4r, zr, z1
 
     # ---- load real test images, tiled up to the batch size ----
     test_dir = Path(constants.DATA_ROOT) / "test" / "initial" / "raw"
@@ -111,40 +122,34 @@ def main() -> None:
     # ---- connection warmup: the relay's first transfer is ~10× slow ----
     np.asarray(jnp.asarray(batch[:4]).reshape(-1)[:8])
 
-    # ---- B=1 p50 latency FIRST: the relay degrades with cumulative
-    # in-process transfer volume (CLAUDE.md), so single-image latency is
-    # measured on the cleanest link, before the throughput loops ----
+    def _link_probe() -> float:
+        """MB/s of a small fresh upload (cheap: bsz/8 boards)."""
+        probe = batch[: max(1, bsz // 8)]
+        t0 = time.perf_counter()
+        d = jnp.asarray(probe)
+        float(d.reshape(-1)[:8].astype(jnp.float32).sum())
+        return probe.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    # ---- B=1 p50 latency FIRST (cleanest link), full and lite ALTERNATING
+    # so both see the same link health.  The lite path is what serving uses
+    # (no board/mask/logits D2H) — record both (round-2 review item). ----
     single = batch[:1]
     engine.process_batch(single)
-    lat = []
+    engine.process_batch(single, lite=True)
+    lat_full, lat_lite = [], []
     for _ in range(7):
         t = time.perf_counter()
         engine.process_batch(single)
-        lat.append(time.perf_counter() - t)
-    p50_ms = float(np.median(lat) * 1000)
+        lat_full.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        engine.process_batch(single, lite=True)
+        lat_lite.append(time.perf_counter() - t)
+    p50_ms = float(np.median(lat_full) * 1000)
+    p50_lite_ms = float(np.median(lat_lite) * 1000)
 
-    def _timed(run_once, iters: int) -> float:
-        """boards/s from the MEDIAN per-iteration wall time (robust to the
-        relay's transient stalls); every iteration is a full host-image→FEN
-        pass: host pack, host→device upload, device pipeline, probabilities
-        D2H, host validation + FEN strings."""
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            run_once()
-            times.append(time.perf_counter() - t0)
-        return bsz / float(np.median(times))
-
-    # All paths below run SYNCHRONOUSLY (bounded queue depth): on this
-    # tunneled dev backend, interleaved async uploads degrade the relay 3×+
-    # (measured; also the round-1 finding), so the double-buffered
-    # run_stream API is NOT used for measurement here — on directly-attached
-    # hosts it overlaps upload with compute and is the production mode.
-
-    # ---- HEADLINE candidate (freshest link): packed sync ----
-    # Exact INTER_AREA + fixed-point gray on host: 1.7× fewer bytes than
-    # raw frames, BIT-IDENTICAL FENs (the raw path chains the same compiled
-    # back half).
+    # ---- e2e paths, ROUND-ROBIN: one iteration of each per cycle so the
+    # relay's within-process degradation hits every path equally and the
+    # recorded ranking tracks bytes, not measurement order. ----
     fens: list = []
 
     def _packed_once() -> None:
@@ -152,23 +157,40 @@ def main() -> None:
         comp, gray = pack_inputs(batch)
         fens = _assemble_fens(engine.run_packed(comp, gray), square_names)
 
-    packed_boards_per_sec = _timed(_packed_once, args.iters)
-    n_found = sum(1 for f in fens if f)
+    def _yuv444_once() -> None:
+        y, cb, cr, gres = pack_inputs_yuv444(batch)
+        _assemble_fens(engine.run_yuv444(y, cb, cr, gres), square_names)
 
-    # ---- YUV 4:2:0 sync (approximate mode: subsampled chroma diffs; 1.56×
-    # fewer bytes again; FENs can deviate on marginal squares — measured
-    # 33/38 agreement on data/test, see process_yuv_fn) ----
-    def _yuv_once() -> None:
+    def _yuv420_once() -> None:
         y, cb, cr = pack_inputs_yuv(batch)
         _assemble_fens(engine.run_yuv(y, cb, cr), square_names)
 
-    yuv_boards_per_sec = _timed(_yuv_once, max(2, args.iters // 2))
-
-    # ---- raw-frame sync path (for the record) ----
     def _raw_once() -> None:
         _assemble_fens(engine.run_device(batch), square_names)
 
-    raw_boards_per_sec = _timed(_raw_once, max(2, args.iters // 2))
+    paths = {
+        "packed": _packed_once,
+        "yuv444": _yuv444_once,
+        "yuv420": _yuv420_once,
+        "raw_frame": _raw_once,
+    }
+    kb_per_board = {
+        "packed": sum(a.nbytes for a in pack_inputs(batch[:1])) / 1024,
+        "yuv444": sum(a.nbytes for a in pack_inputs_yuv444(batch[:1])) / 1024,
+        "yuv420": sum(a.nbytes for a in pack_inputs_yuv(batch[:1])) / 1024,
+        "raw_frame": batch[:1].nbytes / 1024,
+    }
+
+    link_before = _link_probe()
+    times: dict[str, list[float]] = {k: [] for k in paths}
+    for _ in range(args.iters):
+        for name, run_once in paths.items():
+            t0 = time.perf_counter()
+            run_once()
+            times[name].append(time.perf_counter() - t0)
+    link_after = _link_probe()
+    boards_per_sec = {k: bsz / float(np.median(v)) for k, v in times.items()}
+    n_found = sum(1 for f in fens if f)
 
     # ---- compute-only (device-resident input) ----
     # Measured at 4x the e2e batch: per-dispatch overhead on this backend
@@ -184,34 +206,25 @@ def main() -> None:
     compute_elapsed = time.perf_counter() - t0
     compute_boards_per_sec = cbsz * args.iters / compute_elapsed
 
-    # ---- raw host→device bandwidth probe (last: costs link budget) ----
-    probe = batch[: max(1, bsz // 8)]
-    t0 = time.perf_counter()
-    d = jnp.asarray(probe)
-    float(d.reshape(-1)[:8].astype(jnp.float32).sum())
-    upload_mb_s = probe.nbytes / 1e6 / (time.perf_counter() - t0)
-
-    # headline e2e = best EXACT host-image→FEN path (bit-identical outputs
-    # to the raw path); every candidate includes host prep, host→device
-    # transfer and FEN assembly per iteration.  The approximate YUV mode is
-    # reported separately and never sets the headline.
-    best_e2e = max(packed_boards_per_sec, raw_boards_per_sec)
-    packed_bytes = sum(a.nbytes for a in pack_inputs(batch[:1]))
+    # headline e2e = best EXACT host-image→FEN path (packed, yuv444 and
+    # raw are all bit-identical).  The approximate yuv420 mode never sets
+    # the headline.
+    best_e2e = max(boards_per_sec[k] for k in ("packed", "yuv444", "raw_frame"))
     result = {
         "metric": "boards_per_sec_e2e",
         "value": round(best_e2e, 2),
         "unit": "boards/s",
         "vs_baseline": round(best_e2e / BASELINE_BOARDS_PER_SEC, 3),
-        "packed_boards_per_sec": round(packed_boards_per_sec, 2),
-        "yuv_boards_per_sec": round(yuv_boards_per_sec, 2),
-        "raw_frame_boards_per_sec": round(raw_boards_per_sec, 2),
+        "paths_boards_per_sec": {k: round(v, 2) for k, v in boards_per_sec.items()},
+        "paths_kb_per_board": {k: round(v, 1) for k, v in kb_per_board.items()},
         "compute_boards_per_sec": round(compute_boards_per_sec, 2),
         "compute_batch_size": cbsz,
-        "upload_mb_per_sec": round(upload_mb_s, 1),
+        "link_mb_per_sec_before_e2e": round(link_before, 1),
+        "link_mb_per_sec_after_e2e": round(link_after, 1),
         "p50_latency_ms": round(p50_ms, 2),
+        "p50_latency_lite_ms": round(p50_lite_ms, 2),
         "batch_size": bsz,
         "boards_found_last_batch": n_found,
-        "packed_kb_per_board": round(packed_bytes / 1024, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
@@ -219,7 +232,7 @@ def main() -> None:
     # (this dev environment reaches the chip through a ~35-90 MB/s relay;
     # directly-attached hosts move GB/s and e2e ≈ compute there)
     if compute_boards_per_sec > 2 * best_e2e:
-        result["note"] = "host->device link-bound: e2e capped near upload_mb_per_sec / packed_kb_per_board"
+        result["note"] = "host->device link-bound: e2e capped near link_mb_per_sec / paths_kb_per_board"
     print(json.dumps(result))
 
 

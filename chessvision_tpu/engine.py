@@ -223,6 +223,141 @@ def process_yuv_fn(
     return fn
 
 
+# fixed-point BT.601 luma weights (ops/color.py): gray = (LR·R + LG·G +
+# LB·B + 2^14) >> 15, with LR + LG + LB = 2^15 exactly — the identity the
+# yuv444 reconstruction inverts in pure int32.
+_LUMA_R_I = 9798
+_LUMA_G_I = 19235
+_LUMA_B_I = 3735
+
+
+def process_yuv444_fn(
+    extractor: Any,
+    classifier: Any,
+    classifier_outputs_probabilities: bool,
+) -> Any:
+    """BIT-EXACT minimum-bytes variant: full-res luma + full-resolution
+    (256²) blue/red chroma differences + a 4-bit/pixel green residual
+    plane.  416 KB/board at 512×512 — 7% under ``process_packed_fn``'s
+    448 KB, 1.85× under raw frames — while reconstructing the
+    segmentation input EXACTLY (the earlier residual-free form left G
+    within ±2 of exact, which flipped 6/38 FENs):
+
+    - B and R: stored as diffs against the rounded luma downsample, which
+      host and device compute identically in int32, so ``y256r + diff``
+      reproduces the exact INTER_AREA comp wherever the diff fit int8
+      (chroma diffs beyond ±127 clip; essentially absent in board photos).
+    - G: predicted by inverting the BT.601 luma identity — in PURE INT32
+      (scaled sums and round-half-up integer division), so the prediction
+      is bit-identical on host and device with no FMA/rounding hazard —
+      then corrected by the stored 4-bit residual (prediction error is
+      ≤ ~±3 wherever chroma didn't clip; the int4 range ±8 has slack).
+      The host computes the residual against the same clipped
+      reconstruction the device sees, so G stays exact even where B/R
+      clip — except the rare heavily-clipped pixel whose residual
+      overflows int4 (measured 1/131072 on a worst-case random-chroma
+      frame; zero on the real test set).
+
+    The warp/classify half uses the exact full-res luma as always, so the
+    ENTIRE pipeline output is bit-identical to the exact packed path (FEN
+    agreement gated 38/38 by tests/test_engine_packed.py).  (Reference
+    input semantics: core.py:212, 299-300.)"""
+
+    def fn(
+        extractor_vars: Any,
+        classifier_vars: Any,
+        y: jnp.ndarray,  # (B, H, W) uint8 full-res luma (fixed-point gray)
+        cb: jnp.ndarray,  # (B, 256, 256) uint8: clip(B256 − y256r, ±128) + 128
+        cr: jnp.ndarray,  # (B, 256, 256) uint8: clip(R256 − y256r, ±128) + 128
+        gres: jnp.ndarray,  # (B, 256, 128) uint8: two 4-bit G residuals/byte
+        threshold: jnp.ndarray,
+    ) -> dict[str, jnp.ndarray]:
+        bsz, h, w = y.shape
+        ih, iw = _INPUT_HW
+        fh, fw = h // ih, w // iw
+        f2 = fh * fw
+        # area-sum of the luma block — small ints, exact
+        sum4 = (
+            y.astype(jnp.int32).reshape(bsz, ih, fh, iw, fw).sum(axis=(2, 4))
+        )  # (B, 256, 256), ≤ f2·255
+        y256r = (2 * sum4 + f2) // (2 * f2)  # round-half-up of sum4/f2
+        b256 = y256r + (cb.astype(jnp.int32) - 128)  # exact comp B
+        r256 = y256r + (cr.astype(jnp.int32) - 128)  # exact comp R
+        # G prediction from the luma identity, scaled to integers:
+        # y256·2^15 = sum4·(2^15/f2);  N = that − LR·r − LB·b;  g ≈ N/LG
+        n = (32768 // f2) * sum4 - _LUMA_R_I * r256 - _LUMA_B_I * b256
+        g_pred = (2 * n + _LUMA_G_I) // (2 * _LUMA_G_I)  # round-half-up
+        g_pred = jnp.clip(g_pred, 0, 255)
+        gi = gres.astype(jnp.int32)
+        e = jnp.stack([gi & 15, (gi >> 4) & 15], axis=-1).reshape(bsz, ih, iw)
+        g256 = jnp.clip(g_pred + (e - 8), 0, 255)  # exact comp G
+        comp = jnp.stack([b256, g256, r256], axis=-1).astype(jnp.float32)
+        comp = jnp.clip(comp, 0.0, 255.0)
+        return _pipeline_core(
+            extractor,
+            classifier,
+            classifier_outputs_probabilities,
+            extractor_vars,
+            classifier_vars,
+            comp,
+            y.astype(jnp.float32),
+            threshold,
+        )
+
+    return fn
+
+
+def _luma_block_sums(gray: np.ndarray) -> tuple[np.ndarray, int]:
+    """(B, 256, 256) int32 area-block sums of the full-res luma and the
+    block pixel count f2 — the shared host/device integer base of the
+    yuv444 reconstruction."""
+    ih, iw = _INPUT_HW
+    h, w = gray.shape[1:3]
+    if h % ih or w % iw or (32768 % ((h // ih) * (w // iw))):
+        raise ValueError(
+            f"YUV packing needs frame dims divisible by {constants.INPUT_SIZE} "
+            f"(w, h) with a power-of-two factor; got {(w, h)} — use "
+            f"pack_inputs/the raw path for this size"
+        )
+    fh, fw = h // ih, w // iw
+    s = gray.astype(np.int64).reshape(len(gray), ih, fh, iw, fw).sum((2, 4))
+    return s.astype(np.int64), fh * fw
+
+
+def _luma_downsample(gray: np.ndarray, images_len: int) -> np.ndarray:
+    """Host replica of the device's area mean of the fixed-point luma
+    (exact in float32 — integer partial sums)."""
+    s, f2 = _luma_block_sums(gray)
+    return (s.astype(np.float32)) * np.float32(1.0 / f2)
+
+
+def pack_inputs_yuv444(
+    images: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side packing for the bit-exact YUV444 engine path: full-res
+    fixed-point grayscale, full-resolution (256²) chroma differences, and
+    the 4-bit packed green residual plane (see process_yuv444_fn — the
+    host mirrors the device's integer reconstruction exactly, so the
+    residual it stores is the one the device needs).  416 KB/board at
+    512² — 1.85× fewer host→device bytes than raw frames."""
+    comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
+    sum4, f2 = _luma_block_sums(gray)
+    y256r = (2 * sum4 + f2) // (2 * f2)
+    cb_i = comp[..., 0].astype(np.int64) - y256r
+    cr_i = comp[..., 2].astype(np.int64) - y256r
+    cb = np.clip(cb_i + 128, 0, 255).astype(np.uint8)
+    cr = np.clip(cr_i + 128, 0, 255).astype(np.uint8)
+    # device-visible (clipped) B/R reconstruction → same G prediction
+    b256 = y256r + (cb.astype(np.int64) - 128)
+    r256 = y256r + (cr.astype(np.int64) - 128)
+    n = (32768 // f2) * sum4 - _LUMA_R_I * r256 - _LUMA_B_I * b256
+    g_pred = np.clip((2 * n + _LUMA_G_I) // (2 * _LUMA_G_I), 0, 255)
+    resid = comp[..., 1].astype(np.int64) - g_pred
+    e = (np.clip(resid, -8, 7) + 8).astype(np.uint8)  # (B, 256, 256) in [0, 15]
+    gres = (e[..., 0::2] | (e[..., 1::2] << 4)).astype(np.uint8)  # (B, 256, 128)
+    return gray, cb, cr, gres
+
+
 def pack_inputs_yuv(images: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side packing for the YUV engine path: fixed-point grayscale at
     full resolution plus 2×-subsampled chroma DIFFERENCES of the
@@ -233,15 +368,7 @@ def pack_inputs_yuv(images: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
     ih, iw = _INPUT_HW
     th, tw = ih // 2, iw // 2
-    # replicate the device's luma downsample: area mean of gray
-    gf = gray.astype(np.float32)
-    h, w = gf.shape[1:3]
-    if h % ih or w % iw:
-        raise ValueError(
-            f"pack_inputs_yuv needs frame dims divisible by {constants.INPUT_SIZE} "
-            f"(w, h); got {(w, h)} — use pack_inputs/the raw path for this size"
-        )
-    y256 = gf.reshape(len(images), ih, h // ih, iw, w // iw).mean((2, 4))
+    y256 = _luma_downsample(gray, len(images))
     cb = comp[..., 0].astype(np.float32) - y256
     cr = comp[..., 2].astype(np.float32) - y256
     # 2×2 area-downsample the differences, offset-bias to uint8
@@ -361,6 +488,7 @@ class Engine:
         self._cls_probs_flag = classifier_outputs_probabilities
         self._jitted_packed = None
         self._jitted_yuv = None
+        self._jitted_yuv444 = None
         # The raw-frame path CHAINS two programs: a tiny preprocess program
         # (resize + exact grayscale) feeding the SAME compiled back half the
         # host-packed path uses.  Sharing the back-half program guarantees
@@ -422,6 +550,28 @@ class Engine:
             self._jitted_yuv = jax.jit(lambda y, b, r, t: fn(ex_vars, cl_vars, y, b, r, t))
         return self._jitted_yuv
 
+    def run_yuv444(
+        self, y: Any, cb: Any, cr: Any, gres: Any, threshold: float = 0.5
+    ) -> dict[str, jnp.ndarray]:
+        """Run the bit-exact minimum-bytes pipeline (see
+        process_yuv444_fn); inputs from ``pack_inputs_yuv444``."""
+        return self._yuv444_program()(
+            jnp.asarray(y),
+            jnp.asarray(cb),
+            jnp.asarray(cr),
+            jnp.asarray(gres),
+            jnp.float32(threshold),
+        )
+
+    def _yuv444_program(self) -> Any:
+        if self._jitted_yuv444 is None:
+            fn = process_yuv444_fn(self._extractor, self._classifier, self._cls_probs_flag)
+            ex_vars, cl_vars = self._ex_vars, self._cl_vars
+            self._jitted_yuv444 = jax.jit(
+                lambda y, b, r, s, t: fn(ex_vars, cl_vars, y, b, r, s, t)
+            )
+        return self._jitted_yuv444
+
     # -- device path ---------------------------------------------------------
 
     def run_device(self, images: np.ndarray | jnp.ndarray, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
@@ -443,13 +593,18 @@ class Engine:
         ``kind`` selects the input format per element of ``batches``:
         "raw" — (B, H, W, 3) uint8 frames; "packed" — (comp, gray) tuples
         from ``pack_inputs``; "yuv" — (y, bc, rc) tuples from
-        ``pack_inputs_yuv``."""
+        ``pack_inputs_yuv``; "yuv444" — (y, cb, cr, gres) tuples from
+        ``pack_inputs_yuv444``."""
         if kind == "raw":
             program = self._jitted_closed
             put = jax.device_put
             call = lambda cur, thr: program(cur, thr)  # noqa: E731
-        elif kind in ("packed", "yuv"):
-            program = self._packed_program() if kind == "packed" else self._yuv_program()
+        elif kind in ("packed", "yuv", "yuv444"):
+            program = {
+                "packed": self._packed_program,
+                "yuv": self._yuv_program,
+                "yuv444": self._yuv444_program,
+            }[kind]()
             put = lambda t: tuple(jax.device_put(a) for a in t)  # noqa: E731
             call = lambda cur, thr: program(*cur, thr)  # noqa: E731
         else:

@@ -120,8 +120,9 @@ def evaluate_model(
     save_artifacts: bool = False,
     batch_size: int = 32,
     limit: int | None = None,
-    image_size: int = 512,
+    image_size: int | None = None,
     cv_model=None,
+    test_root: Path | None = None,
 ) -> dict:
     """Run the full evaluation suite; returns the aggregate metric dict
     (the reference's run parameter payload, evaluate.py:346-363)."""
@@ -140,18 +141,23 @@ def evaluate_model(
             lazy_load=False,
         )
 
-    items = list(get_test_generator())
+    items = list(get_test_generator(test_root))
     if limit:
         items = items[:limit]
     if not items:
         logger.warning("No test items found")
         return {}
 
-    # uniform-shape batches for the fused engine
-    import cv2
+    # The fused engine takes uniform-shape batches; group test images BY
+    # NATIVE SHAPE and feed each group at full resolution, so the board is
+    # warped out of the original frame exactly as the reference does
+    # (core.py:197-223 scales the quadrangle back to the original) — a
+    # high-res test batch must not be scored through a pre-shrunk 512².
+    # ``image_size`` forces the legacy uniform resize when explicitly set.
+    if image_size is not None:
+        import cv2
 
-    images = np.stack(
-        [
+        imgs_native = [
             im
             if im.shape[:2] == (image_size, image_size)
             # INTER_AREA to match the engine's resize semantics
@@ -159,9 +165,13 @@ def evaluate_model(
             else cv2.resize(im, (image_size, image_size), interpolation=cv2.INTER_AREA)
             for im, _, _ in items
         ]
-    )
+    else:
+        imgs_native = [im for im, _, _ in items]
     names = [n for _, n, _ in items]
     true_fens = [f for _, _, f in items]
+    shape_groups: dict[tuple[int, ...], list[int]] = {}
+    for i, im in enumerate(imgs_native):
+        shape_groups.setdefault(im.shape[:2], []).append(i)
 
     top_1 = top_1_validated = top_2 = top_3 = 0.0
     extraction_failures = 0
@@ -171,75 +181,77 @@ def evaluate_model(
     per_sample_rows: dict[str, list] = {}
 
     t0 = time.time()
-    results = []
-    for start in range(0, len(images), batch_size):
-        results.append(cv_model.engine.process_batch(images[start : start + batch_size], threshold))
+    res_by_item: dict[int, tuple] = {}
+    for idxs in shape_groups.values():
+        group = np.stack([imgs_native[i] for i in idxs])
+        for start in range(0, len(idxs), batch_size):
+            res = cv_model.engine.process_batch(group[start : start + batch_size], threshold)
+            for bi, i in enumerate(idxs[start : start + batch_size]):
+                res_by_item[i] = (res, bi)
     elapsed = time.time() - t0
 
     artifacts_dir = Path(run.bulk_data_url) / "artifacts"
-    idx = 0
-    for res in results:
-        for bi in range(len(res.board_found)):
-            name, true_fen = names[idx], true_fens[idx]
-            idx += 1
-            # Per-sample artifacts live IN the metrics table (path columns),
-            # like the reference's image columns (evaluate.py:248-261,
-            # 373-403); --save-artifacts also writes them without a table.
-            artifact_paths: dict[str, Path] = {}
-            if save_artifacts or include_metrics_table:
-                from chessvision_tpu.eval.render import save_eval_artifacts
+    for idx in range(len(items)):
+        res, bi = res_by_item[idx]
+        name, true_fen = names[idx], true_fens[idx]
+        # Per-sample artifacts live IN the metrics table (path columns),
+        # like the reference's image columns (evaluate.py:248-261,
+        # 373-403); --save-artifacts also writes them without a table.
+        artifact_paths: dict[str, Path] = {}
+        if save_artifacts or include_metrics_table:
+            from chessvision_tpu.eval.render import save_eval_artifacts
 
-                artifact_paths = save_eval_artifacts(
-                    artifacts_dir,
-                    name,
-                    fen=res.fens[bi] if res.board_found[bi] else None,
-                    binary_mask=res.binary_mask[bi],
-                    board_image=res.board_image[bi] if res.board_found[bi] else None,
-                )
-            artifact_cols = tuple(
-                (col, str(artifact_paths.get(kind, "")))
-                for col, kind in (
-                    ("predicted_board_image", "predicted_board"),
-                    ("mask_image", "binary_mask"),
-                    ("extracted_board_image", "extracted_board"),
-                )
+            artifact_paths = save_eval_artifacts(
+                artifacts_dir,
+                name,
+                fen=res.fens[bi] if res.board_found[bi] else None,
+                binary_mask=res.binary_mask[bi],
+                board_image=res.board_image[bi] if res.board_found[bi] else None,
             )
-            if not res.board_found[bi]:
-                extraction_failures += 1
-                if include_metrics_table:
-                    for k, v in (
-                        ("example_id", name),
-                        ("accuracy", 0.0),
-                        ("accuracy_validated", 0.0),
-                        ("top_2", 0.0),
-                        ("top_3", 0.0),
-                        ("num_fixes", 0),
-                        ("extraction_failure", 1),
-                    ) + artifact_cols:
-                        per_sample_rows.setdefault(k, []).append(v)
-                continue
-            evaluated += 1
-            orig_acc = compute_position_accuracy(res.original_fens[bi], true_fen)
-            val_acc = compute_position_accuracy(res.fens[bi], true_fen)
-            topk = compute_model_topk_accuracy(res.probabilities[bi], true_fen, k=3)
-            top_1 += topk.top_1
-            top_2 += topk.top_2
-            top_3 += topk.top_3
-            top_1_validated += val_acc.accuracy
-            validation_fixes += len(res.validation_fixes[bi])
-            if val_acc.accuracy > orig_acc.accuracy:
-                validation_improvements += 1
+        artifact_cols = tuple(
+            (col, str(artifact_paths.get(kind, "")))
+            for col, kind in (
+                ("predicted_board_image", "predicted_board"),
+                ("mask_image", "binary_mask"),
+                ("extracted_board_image", "extracted_board"),
+            )
+        )
+        if not res.board_found[bi]:
+            extraction_failures += 1
             if include_metrics_table:
                 for k, v in (
                     ("example_id", name),
-                    ("accuracy", orig_acc.accuracy),
-                    ("accuracy_validated", val_acc.accuracy),
-                    ("top_2", topk.top_2),
-                    ("top_3", topk.top_3),
-                    ("num_fixes", len(res.validation_fixes[bi])),
-                    ("extraction_failure", 0),
+                    ("accuracy", 0.0),
+                    ("accuracy_validated", 0.0),
+                    ("top_2", 0.0),
+                    ("top_3", 0.0),
+                    ("num_fixes", 0),
+                    ("extraction_failure", 1),
                 ) + artifact_cols:
                     per_sample_rows.setdefault(k, []).append(v)
+            continue
+        evaluated += 1
+        orig_acc = compute_position_accuracy(res.original_fens[bi], true_fen)
+        val_acc = compute_position_accuracy(res.fens[bi], true_fen)
+        topk = compute_model_topk_accuracy(res.probabilities[bi], true_fen, k=3)
+        top_1 += topk.top_1
+        top_2 += topk.top_2
+        top_3 += topk.top_3
+        top_1_validated += val_acc.accuracy
+        validation_fixes += len(res.validation_fixes[bi])
+        if val_acc.accuracy > orig_acc.accuracy:
+            validation_improvements += 1
+        if include_metrics_table:
+            for k, v in (
+                ("example_id", name),
+                ("accuracy", orig_acc.accuracy),
+                ("accuracy_validated", val_acc.accuracy),
+                ("top_2", topk.top_2),
+                ("top_3", topk.top_3),
+                ("num_fixes", len(res.validation_fixes[bi])),
+                ("extraction_failure", 0),
+            ) + artifact_cols:
+                per_sample_rows.setdefault(k, []).append(v)
 
     n = max(evaluated, 1)
     aggregates = {
@@ -250,8 +262,8 @@ def evaluate_model(
         "extraction_failures": extraction_failures,
         "validation_fixes": validation_fixes,
         "validation_improvements": validation_improvements,
-        "num_images": len(images),
-        "avg_time_per_prediction": elapsed / len(images),
+        "num_images": len(items),
+        "avg_time_per_prediction": elapsed / len(items),
         "threshold": threshold,
     }
     run.set_parameters({"test_results": aggregates})

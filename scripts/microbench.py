@@ -176,6 +176,21 @@ def bench_warp(iters):
     res["hat_banded_T"] = timeit(jax.jit(hat_banded_T), src, pos, iters=iters, name="hat_banded_T")
     res["hat_banded_T_selectn"] = timeit(jax.jit(hat_banded_T_selectn), src, pos, iters=iters, name="hat_banded_T_selectn")
     res["hat_banded"] = timeit(jax.jit(hat_banded), src, pos, iters=iters, name="hat_banded")
+    # Pallas banded kernels (wide = round-2 256-window; narrow = 128-window
+    # 64-output tiles — ¼ the terms of full width, more switch overhead)
+    import functools
+
+    from chessvision_tpu.ops.pallas_kernels import banded_resample
+
+    for cfg in ("wide", "narrow"):
+        try:
+            fn = functools.partial(banded_resample, config=cfg)
+            res[f"pallas_{cfg}"] = timeit(fn, src, pos, iters=iters, name=f"pallas_{cfg}")
+            res[f"pallas_{cfg}_equal_full"] = bool(
+                jnp.allclose(jax.jit(hat_full)(src, pos), fn(src, pos), atol=1e-4)
+            )
+        except Exception as e:  # noqa: BLE001 — Mosaic may reject a config
+            res[f"pallas_{cfg}"] = f"failed: {e}"[:200]
     # correctness cross-check (banded vs full) on this input
     full = jax.jit(hat_full)(src, pos)
     res["banded_equal_full"] = bool(jnp.array_equal(full, jax.jit(hat_banded)(src, pos)))

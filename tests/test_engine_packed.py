@@ -5,7 +5,12 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from chessvision_tpu.engine import Engine, pack_inputs, pack_inputs_yuv
+from chessvision_tpu.engine import (
+    Engine,
+    pack_inputs,
+    pack_inputs_yuv,
+    pack_inputs_yuv444,
+)
 from tests.test_engine import StubClassifier, StubExtractor, _quad_logits, _start_position_logits
 
 START_FEN = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR"
@@ -103,6 +108,132 @@ def test_yuv_comp_reconstruction_accuracy() -> None:
     err = np.abs(rec - comp_exact.astype(np.float64))
     assert err.mean() < 1.5, err.mean()
     assert np.percentile(err, 99) <= 6.0, np.percentile(err, 99)
+
+
+def test_pack_inputs_yuv444_shapes() -> None:
+    imgs = np.random.default_rng(0).integers(0, 256, (3, 512, 512, 3), np.uint8)
+    y, cb, cr, gres = pack_inputs_yuv444(imgs)
+    assert y.shape == (3, 512, 512) and y.dtype == np.uint8
+    assert cb.shape == (3, 256, 256) and cb.dtype == np.uint8
+    assert cr.shape == (3, 256, 256) and cr.dtype == np.uint8
+    assert gres.shape == (3, 256, 128) and gres.dtype == np.uint8
+    # 416 KB/board: 1.85x smaller than raw frames, 7% under packed
+    comp, gray = pack_inputs(imgs)
+    total = y.nbytes + cb.nbytes + cr.nbytes + gres.nbytes
+    assert total == 3 * 416 * 1024
+    assert total < 0.93 * (comp.nbytes + gray.nbytes)
+
+
+def test_yuv444_comp_reconstruction_bit_exact() -> None:
+    """The bit-exact claim, checked directly against the device integer
+    reconstruction (process_yuv444_fn): B/R from rounded-luma diffs, G
+    from the int32 luma-identity prediction + 4-bit residual.  Exact on a
+    natural-image-like frame AND on worst-case random chroma (where B/R
+    diffs clip, G still lands exactly because the host computed its
+    residual against the same clipped reconstruction)."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    # moderate saturation (chroma diffs stay inside int8, like board photos)
+    base = rng.integers(80, 176, (4, 4, 3), np.uint8)
+    smooth = cv2.resize(base, (512, 512), interpolation=cv2.INTER_LINEAR)
+    noisy = rng.integers(0, 256, (512, 512, 3), np.uint8)  # worst-case chroma
+    imgs = np.stack([smooth, noisy])
+
+    comp_exact, _ = pack_inputs(imgs)
+    y, cb, cr, gres = pack_inputs_yuv444(imgs)
+
+    # replicate the device reconstruction (pure integer arithmetic)
+    sum4 = y.astype(np.int64).reshape(2, 256, 2, 256, 2).sum((2, 4))
+    y256r = (2 * sum4 + 4) // 8
+    b = y256r + (cb.astype(np.int64) - 128)
+    r = y256r + (cr.astype(np.int64) - 128)
+    n = 8192 * sum4 - 9798 * r - 3735 * b
+    g_pred = np.clip((2 * n + 19235) // (2 * 19235), 0, 255)
+    e = np.stack([gres & 15, (gres >> 4) & 15], axis=-1).reshape(2, 256, 256)
+    g = np.clip(g_pred + (e.astype(np.int64) - 8), 0, 255)
+
+    ce = comp_exact.astype(np.int64)
+    unclipped = (cb > 0) & (cb < 255) & (cr > 0) & (cr < 255)
+    # B/R bit-exact wherever the diff fit int8 (no clipping)
+    np.testing.assert_array_equal(b[unclipped], ce[..., 0][unclipped])
+    np.testing.assert_array_equal(r[unclipped], ce[..., 2][unclipped])
+    # G bit-exact wherever the residual fit int4 — which is everywhere the
+    # chroma diffs didn't clip (prediction error ≤ ~±3 there) and almost
+    # everywhere they did (heavily-clipped B/R skew the prediction; 1 of
+    # 131072 pixels on the worst-case random-chroma frame here)
+    resid_fit = (e > 0) & (e < 15)
+    np.testing.assert_array_equal(g[resid_fit], ce[..., 1][resid_fit])
+    np.testing.assert_array_equal(g[unclipped], ce[..., 1][unclipped])
+    # the smooth natural-image frame reconstructs fully bit-exact
+    assert unclipped[0].all()
+    np.testing.assert_array_equal(b[0], ce[0, ..., 0])
+    np.testing.assert_array_equal(g[0], ce[0, ..., 1])
+    np.testing.assert_array_equal(r[0], ce[0, ..., 2])
+
+
+def test_run_yuv444_bit_identical_to_process_batch() -> None:
+    """The bit-exact reconstruction chains the same compiled back half, so
+    the ENTIRE output must match the raw-frame path bit for bit (natural
+    images: chroma diffs don't clip)."""
+    import cv2
+
+    eng = _stub_engine()
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    imgs = np.stack(
+        [
+            cv2.resize(base, (512, 512), interpolation=cv2.INTER_LINEAR),
+            cv2.resize(base[::-1], (512, 512), interpolation=cv2.INTER_LINEAR),
+        ]
+    )
+
+    full = eng.process_batch(imgs)
+    y, cb, cr, gres = pack_inputs_yuv444(imgs)
+    out = {k: np.asarray(v) for k, v in eng.run_yuv444(y, cb, cr, gres).items()}
+
+    assert out["found"].all()
+    np.testing.assert_array_equal(out["quadrangle"], full.quadrangle)
+    np.testing.assert_array_equal(out["board_image"], full.board_image)
+    np.testing.assert_array_equal(out["probabilities"], full.probabilities)
+    np.testing.assert_array_equal(out["logits"], full.logits)
+
+
+@pytest.mark.slow
+def test_yuv444_fen_agreement_on_test_set() -> None:
+    """The bit-exact minimum-bytes mode on the real test set with the real
+    promoted weights: 38/38 — every output FEN identical to the exact
+    packed path (the residual-free form managed only 32/38; the 4:2:0
+    mode 33/38)."""
+    import cv2
+
+    from chessvision_tpu import ChessVision, constants
+    from chessvision_tpu.chessboard import labels_to_fen
+    from chessvision_tpu.engine import validate_labels_batch
+
+    test_root = Path(constants.DATA_ROOT) / "test"
+    paths = sorted(test_root.glob("*/raw/*.JPG"))
+    if not paths or not Path("weights/best_classifier.npz").exists():
+        pytest.skip("needs data/test and promoted weights")
+    imgs = np.stack([cv2.imread(str(p)) for p in paths])
+    engine = ChessVision(lazy_load=False).engine
+
+    exact = engine.process_batch(imgs)
+    y, cb, cr, gres = pack_inputs_yuv444(imgs)
+    out = engine.run_yuv444(y, cb, cr, gres)
+
+    probs = np.asarray(out["probabilities"])
+    found = np.asarray(out["found"])
+    names = constants.SQUARE_NAMES_NORMAL
+    validated, _ = validate_labels_batch(probs, names)
+    fens = [
+        labels_to_fen(validated[i], names) if found[i] else "" for i in range(len(found))
+    ]
+    assert list(found) == list(exact.board_found)
+    disagree = [
+        (a, b) for a, b in zip(fens, exact.fens) if a != b
+    ]
+    assert not disagree, f"{len(disagree)}/{len(paths)} FENs disagree: {disagree[:3]}"
 
 
 @pytest.mark.slow

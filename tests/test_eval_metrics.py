@@ -124,3 +124,108 @@ def test_compute_position_accuracy() -> None:
     assert perfect.accuracy == 1.0 and perfect.num_correct == 64
     off = compute_position_accuracy("rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNQ", fen)
     assert off.num_correct == 63
+
+
+START_FEN = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR"
+
+
+class _ShapeRecordingEngine:
+    """Stub engine: records every batch shape it receives and returns a
+    well-formed all-found BatchResult (perfect start-position FENs)."""
+
+    def __init__(self) -> None:
+        self.shapes: list[tuple[int, int, int]] = []
+
+    def process_batch(self, batch, threshold=0.5):
+        from chessvision_tpu.cv_types import BatchResult
+
+        b, h, w = batch.shape[:3]
+        self.shapes.append((b, h, w))
+        return BatchResult(
+            logits=np.zeros((b, 256, 256), np.float32),
+            binary_mask=np.zeros((b, 256, 256), np.uint8),
+            quadrangle=np.zeros((b, 4, 2), np.float32),
+            board_found=np.ones(b, bool),
+            board_image=np.zeros((b, 512, 512), np.uint8),
+            probabilities=np.full((b, 64, 13), 1.0 / 13, np.float32),
+            fens=[START_FEN] * b,
+            original_fens=[START_FEN] * b,
+            validation_fixes=[[] for _ in range(b)],
+        )
+
+
+def _write_test_root(tmp_path, sizes) -> "object":
+    import cv2
+
+    root = tmp_path / "test"
+    (root / "batch0" / "raw").mkdir(parents=True)
+    (root / "batch0" / "ground_truth").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i, size in enumerate(sizes):
+        img = rng.integers(0, 256, (size, size, 3), np.uint8)
+        cv2.imwrite(str(root / "batch0" / "raw" / f"img{i}.JPG"), img)
+        (root / "batch0" / "ground_truth" / f"img{i}.txt").write_text(START_FEN)
+    return root
+
+
+def test_evaluate_model_groups_by_native_resolution(tmp_path, monkeypatch) -> None:
+    """Mixed-resolution test batches evaluate at NATIVE size (reference
+    core.py:197-223 warps out of the original frame) — the harness must
+    not pre-shrink a high-res image to 512²."""
+    from types import SimpleNamespace
+
+    from chessvision_tpu.eval.evaluate import evaluate_model
+
+    monkeypatch.setenv("CVTPU_STORE_ROOT", str(tmp_path / "store"))
+    root = _write_test_root(tmp_path, [512, 1024, 512])
+    engine = _ShapeRecordingEngine()
+    agg = evaluate_model(
+        cv_model=SimpleNamespace(engine=engine), test_root=root, batch_size=8
+    )
+    assert agg["num_images"] == 3
+    assert agg["top_1_accuracy_validated"] == 1.0
+    assert agg["extraction_failures"] == 0
+    # one batch per native shape, full resolution preserved
+    assert sorted(engine.shapes) == [(1, 1024, 1024), (2, 512, 512)]
+
+
+def test_evaluate_model_forced_uniform_size(tmp_path, monkeypatch) -> None:
+    """Explicit image_size keeps the legacy uniform-resize behavior."""
+    from types import SimpleNamespace
+
+    from chessvision_tpu.eval.evaluate import evaluate_model
+
+    monkeypatch.setenv("CVTPU_STORE_ROOT", str(tmp_path / "store"))
+    root = _write_test_root(tmp_path, [512, 1024])
+    engine = _ShapeRecordingEngine()
+    evaluate_model(
+        cv_model=SimpleNamespace(engine=engine),
+        test_root=root,
+        image_size=512,
+        batch_size=8,
+    )
+    assert engine.shapes == [(2, 512, 512)]
+
+
+def test_evaluate_model_metrics_table_order(tmp_path, monkeypatch) -> None:
+    """Per-sample rows come out in generator (filename) order even though
+    shape groups are processed out of order."""
+    from types import SimpleNamespace
+
+    from chessvision_tpu import runstore
+    from chessvision_tpu.eval.evaluate import evaluate_model
+
+    monkeypatch.setenv("CVTPU_STORE_ROOT", str(tmp_path / "store"))
+    root = _write_test_root(tmp_path, [1024, 512, 1024, 512])
+    run = runstore.init("chessvision-testing")
+    evaluate_model(
+        cv_model=SimpleNamespace(engine=_ShapeRecordingEngine()),
+        test_root=root,
+        run=run,
+        include_metrics_table=True,
+        save_artifacts=False,
+        batch_size=8,
+    )
+    table = run.read_metrics_table("test_per_image")
+    ids = list(table["example_id"])
+    assert ids == [f"img{i}.JPG" for i in range(4)]

@@ -121,3 +121,66 @@ def test_collectors_shapes() -> None:
     te = collectors.top2_margin_and_entropy(jnp.asarray(np.full((3, 13), 1 / 13)))
     np.testing.assert_allclose(np.asarray(te["top_2_confidence_difference"]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(te["prediction_entropy"]), np.log(13), rtol=1e-5)
+
+
+def test_runstore_view_pages(store_root, tmp_path) -> None:
+    """The dashboard serves the index, a run page with params/sparklines/
+    metrics table + artifact thumbnail, and jails /file to the store."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import numpy as np
+
+    from chessvision_tpu import runstore
+    from chessvision_tpu.runstore import view
+
+    run = runstore.init("viewproj", "run-a", {"lr": 1e-3})
+    for i in range(5):
+        run.log({"epoch": i, "val_dice": 0.9 + 0.01 * i})
+    # artifact image inside the run's bulk dir (inside the store root)
+    art = run.bulk_data_url / "m.png"
+    art.write_bytes(
+        b"\x89PNG\r\n\x1a\n" + bytes(100)  # enough to be a file; content unchecked
+    )
+    run.write_metrics_table(
+        "val_epoch1",
+        {
+            "example_id": np.asarray(["a", "b"], object),
+            "loss": np.asarray([0.1, 0.2], np.float32),
+            "mask_image": np.asarray([str(art), ""], object),
+            "embedding_2d": np.asarray([[0.0, 1.0], [1.0, 0.0]], np.float32),
+        },
+    )
+    run.set_status_completed()
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), view.make_handler())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, r.read()
+
+        status, body = get("/")
+        assert status == 200 and b"viewproj" in body and b"run-a" in body
+
+        status, body = get("/run?project=viewproj&name=run-a")
+        assert status == 200
+        assert b"val_dice" in body and b"<polyline" in body  # sparkline
+        assert b"val_epoch1" in body and b"img class='thumb'" in body
+        assert b"<circle" in body  # embedding scatter
+
+        # artifact served; escape attempts jailed
+        status, _ = get("/file?p=" + str(art))
+        assert status == 200
+        import urllib.error
+
+        try:
+            status, _ = get("/file?p=/etc/passwd")
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 403
+    finally:
+        server.shutdown()
