@@ -272,27 +272,7 @@ def process_yuv444_fn(
         gres: jnp.ndarray,  # (B, 256, 128) uint8: two 4-bit G residuals/byte
         threshold: jnp.ndarray,
     ) -> dict[str, jnp.ndarray]:
-        bsz, h, w = y.shape
-        ih, iw = _INPUT_HW
-        fh, fw = h // ih, w // iw
-        f2 = fh * fw
-        # area-sum of the luma block — small ints, exact
-        sum4 = (
-            y.astype(jnp.int32).reshape(bsz, ih, fh, iw, fw).sum(axis=(2, 4))
-        )  # (B, 256, 256), ≤ f2·255
-        y256r = (2 * sum4 + f2) // (2 * f2)  # round-half-up of sum4/f2
-        b256 = y256r + (cb.astype(jnp.int32) - 128)  # exact comp B
-        r256 = y256r + (cr.astype(jnp.int32) - 128)  # exact comp R
-        # G prediction from the luma identity, scaled to integers:
-        # y256·2^15 = sum4·(2^15/f2);  N = that − LR·r − LB·b;  g ≈ N/LG
-        n = (32768 // f2) * sum4 - _LUMA_R_I * r256 - _LUMA_B_I * b256
-        g_pred = (2 * n + _LUMA_G_I) // (2 * _LUMA_G_I)  # round-half-up
-        g_pred = jnp.clip(g_pred, 0, 255)
-        gi = gres.astype(jnp.int32)
-        e = jnp.stack([gi & 15, (gi >> 4) & 15], axis=-1).reshape(bsz, ih, iw)
-        g256 = jnp.clip(g_pred + (e - 8), 0, 255)  # exact comp G
-        comp = jnp.stack([b256, g256, r256], axis=-1).astype(jnp.float32)
-        comp = jnp.clip(comp, 0.0, 255.0)
+        comp = reconstruct_comp_yuv444(y, cb, cr, gres)
         return _pipeline_core(
             extractor,
             classifier,
@@ -305,6 +285,36 @@ def process_yuv444_fn(
         )
 
     return fn
+
+
+def reconstruct_comp_yuv444(
+    y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, gres: jnp.ndarray
+) -> jnp.ndarray:
+    """Device half of the yuv444 codec: (B, 256, 256, 3) float32 comp,
+    bit-exactly equal to the host's ``pack_inputs_yuv444`` source comp
+    (jit-testable on its own — tests/test_engine_packed.py)."""
+    bsz, h, w = y.shape
+    ih, iw = _INPUT_HW
+    fh, fw = h // ih, w // iw
+    f2 = fh * fw
+    # area-sum of the luma block — small ints, exact
+    sum4 = (
+        y.astype(jnp.int32).reshape(bsz, ih, fh, iw, fw).sum(axis=(2, 4))
+    )  # (B, 256, 256), ≤ f2·255
+    y256r = (2 * sum4 + f2) // (2 * f2)  # round-half-up of sum4/f2
+    b256 = y256r + (cb.astype(jnp.int32) - 128)  # exact comp B
+    r256 = y256r + (cr.astype(jnp.int32) - 128)  # exact comp R
+    # G prediction from the luma identity anchored on the ROUNDED luma
+    # (the host can then source y256r from cv2's integer INTER_AREA
+    # instead of a block-sum pass): N = y256r·2^15 − LR·r − LB·b; g ≈ N/LG
+    n = (y256r << 15) - _LUMA_R_I * r256 - _LUMA_B_I * b256
+    g_pred = (2 * n + _LUMA_G_I) // (2 * _LUMA_G_I)  # round-half-up
+    g_pred = jnp.clip(g_pred, 0, 255)
+    gi = gres.astype(jnp.int32)
+    e = jnp.stack([gi & 15, (gi >> 4) & 15], axis=-1).reshape(bsz, ih, iw)
+    g256 = jnp.clip(g_pred + (e - 8), 0, 255)  # exact comp G
+    comp = jnp.stack([b256, g256, r256], axis=-1).astype(jnp.float32)
+    return jnp.clip(comp, 0.0, 255.0)
 
 
 def _luma_block_sums(gray: np.ndarray) -> tuple[np.ndarray, int]:
@@ -320,8 +330,11 @@ def _luma_block_sums(gray: np.ndarray) -> tuple[np.ndarray, int]:
             f"pack_inputs/the raw path for this size"
         )
     fh, fw = h // ih, w // iw
-    s = gray.astype(np.int64).reshape(len(gray), ih, fh, iw, fw).sum((2, 4))
-    return s.astype(np.int64), fh * fw
+    # accumulate in int32 WITHOUT materializing an upcast copy of the
+    # full-res plane (an int64 astype of a (B, 512, 512) batch allocates
+    # gigabytes and dominated the pack cost)
+    s = gray.reshape(len(gray), ih, fh, iw, fw).sum((2, 4), dtype=np.int32)
+    return s, fh * fw
 
 
 def _luma_downsample(gray: np.ndarray, images_len: int) -> np.ndarray:
@@ -341,18 +354,43 @@ def pack_inputs_yuv444(
     residual it stores is the one the device needs).  416 KB/board at
     512² — 1.85× fewer host→device bytes than raw frames."""
     comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
-    sum4, f2 = _luma_block_sums(gray)
-    y256r = (2 * sum4 + f2) // (2 * f2)
-    cb_i = comp[..., 0].astype(np.int64) - y256r
-    cr_i = comp[..., 2].astype(np.int64) - y256r
-    cb = np.clip(cb_i + 128, 0, 255).astype(np.uint8)
-    cr = np.clip(cr_i + 128, 0, 255).astype(np.uint8)
-    # device-visible (clipped) B/R reconstruction → same G prediction
-    b256 = y256r + (cb.astype(np.int64) - 128)
-    r256 = y256r + (cr.astype(np.int64) - 128)
-    n = (32768 // f2) * sum4 - _LUMA_R_I * r256 - _LUMA_B_I * b256
-    g_pred = np.clip((2 * n + _LUMA_G_I) // (2 * _LUMA_G_I), 0, 255)
-    resid = comp[..., 1].astype(np.int64) - g_pred
+    from chessvision_tpu import native_loader
+
+    if native_loader.has_pack_yuv444():
+        # fused C++ single pass (bit-identical to the numpy path below,
+        # enforced by tests/test_native_loader.py; ~50× less host time)
+        cb, cr, gres = native_loader.pack_yuv444(comp, gray)
+        return gray, cb, cr, gres
+    # rounded luma downsample: cv2's integer INTER_AREA is bit-equal to
+    # round-half-up of the block mean (golden-tested in ops) and ~10×
+    # cheaper than a numpy block-sum pass on weak hosts
+    try:
+        import cv2
+
+        y256r = np.stack(
+            [
+                cv2.resize(g, constants.INPUT_SIZE, interpolation=cv2.INTER_AREA)
+                for g in gray
+            ]
+        ).astype(np.int16)
+    except ImportError:
+        sum4, f2 = _luma_block_sums(gray)
+        y256r = ((2 * sum4 + f2) // (2 * f2)).astype(np.int16)
+    # int16 throughout the small-range stages (fewer bytes touched)
+    cb_c = np.clip(comp[..., 0].astype(np.int16) - y256r, -128, 127)
+    cr_c = np.clip(comp[..., 2].astype(np.int16) - y256r, -128, 127)
+    cb = (cb_c + 128).astype(np.uint8)
+    cr = (cr_c + 128).astype(np.uint8)
+    # G prediction WITHOUT materializing B/R: with b = y256r + cb_c and
+    # r = y256r + cr_c, the device's n = (y256r<<15) − LR·r − LB·b equals
+    # LG·y256r + m with m = −LR·cr_c − LB·cb_c, so its round-half-up
+    # quotient is y256r + floor((2m + LG) / 2LG).  The f32 quotient is
+    # exact-to-floor: |2m + LG| < 2^22 (exact in f32), true quotients are
+    # ≥ 1/LG ≈ 5e-5 from any non-attained integer, f32 error ≤ ~6e-6.
+    m2 = cr_c * np.float32(-2.0 * _LUMA_R_I) + cb_c * np.float32(-2.0 * _LUMA_B_I)
+    adj = np.floor((m2 + np.float32(_LUMA_G_I)) / np.float32(2 * _LUMA_G_I))
+    g_pred = np.clip(y256r + adj, 0, 255)
+    resid = comp[..., 1].astype(np.int16) - g_pred
     e = (np.clip(resid, -8, 7) + 8).astype(np.uint8)  # (B, 256, 256) in [0, 15]
     gres = (e[..., 0::2] | (e[..., 1::2] << 4)).astype(np.uint8)  # (B, 256, 128)
     return gray, cb, cr, gres

@@ -72,8 +72,46 @@ def _load() -> ctypes.CDLL | None:
     lib.cvl_prefetcher_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.cvl_prefetcher_next.restype = ctypes.c_int
     lib.cvl_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "cvl_pack_yuv444"):
+        lib.cvl_pack_yuv444.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.cvl_pack_yuv444.restype = None
     _lib = lib
     return lib
+
+
+def has_pack_yuv444() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "cvl_pack_yuv444")
+
+
+def pack_yuv444(
+    comp: np.ndarray, gray: np.ndarray, n_threads: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused C++ packing for the engine's bit-exact yuv444 mode: (cb, cr,
+    gres) from the exact comp + full-res luma (see engine.pack_inputs_yuv444
+    — bit-identical to its numpy fallback, one pass instead of ~10)."""
+    lib = _load()
+    n, ih, iw = comp.shape[0], comp.shape[1], comp.shape[2]
+    fh, fw = gray.shape[1] // ih, gray.shape[2] // iw
+    comp = np.ascontiguousarray(comp)
+    gray = np.ascontiguousarray(gray)
+    cb = np.empty((n, ih, iw), np.uint8)
+    cr = np.empty((n, ih, iw), np.uint8)
+    gres = np.empty((n, ih, iw // 2), np.uint8)
+    lib.cvl_pack_yuv444(
+        comp.ctypes.data_as(ctypes.c_void_p),
+        gray.ctypes.data_as(ctypes.c_void_p),
+        n, ih, iw, fh, fw,
+        cb.ctypes.data_as(ctypes.c_void_p),
+        cr.ctypes.data_as(ctypes.c_void_p),
+        gres.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    return cb, cr, gres
 
 
 def available() -> bool:

@@ -125,13 +125,16 @@ def test_pack_inputs_yuv444_shapes() -> None:
 
 
 def test_yuv444_comp_reconstruction_bit_exact() -> None:
-    """The bit-exact claim, checked directly against the device integer
-    reconstruction (process_yuv444_fn): B/R from rounded-luma diffs, G
-    from the int32 luma-identity prediction + 4-bit residual.  Exact on a
-    natural-image-like frame AND on worst-case random chroma (where B/R
-    diffs clip, G still lands exactly because the host computed its
-    residual against the same clipped reconstruction)."""
+    """The bit-exact claim, checked end to end across the codec: host
+    ``pack_inputs_yuv444`` → DEVICE ``reconstruct_comp_yuv444`` (the same
+    jitted integer function the engine program calls) must reproduce the
+    exact INTER_AREA comp.  Exact on a natural-image-like frame; on
+    worst-case random chroma, exact wherever the int8 chroma diffs and
+    int4 G residuals fit (heavily-clipped pixels excepted)."""
     import cv2
+    import jax
+
+    from chessvision_tpu.engine import reconstruct_comp_yuv444
 
     rng = np.random.default_rng(3)
     # moderate saturation (chroma diffs stay inside int8, like board photos)
@@ -142,34 +145,22 @@ def test_yuv444_comp_reconstruction_bit_exact() -> None:
 
     comp_exact, _ = pack_inputs(imgs)
     y, cb, cr, gres = pack_inputs_yuv444(imgs)
+    rec = np.asarray(jax.jit(reconstruct_comp_yuv444)(y, cb, cr, gres))
 
-    # replicate the device reconstruction (pure integer arithmetic)
-    sum4 = y.astype(np.int64).reshape(2, 256, 2, 256, 2).sum((2, 4))
-    y256r = (2 * sum4 + 4) // 8
-    b = y256r + (cb.astype(np.int64) - 128)
-    r = y256r + (cr.astype(np.int64) - 128)
-    n = 8192 * sum4 - 9798 * r - 3735 * b
-    g_pred = np.clip((2 * n + 19235) // (2 * 19235), 0, 255)
+    ce = comp_exact.astype(np.float32)
     e = np.stack([gres & 15, (gres >> 4) & 15], axis=-1).reshape(2, 256, 256)
-    g = np.clip(g_pred + (e.astype(np.int64) - 8), 0, 255)
-
-    ce = comp_exact.astype(np.int64)
     unclipped = (cb > 0) & (cb < 255) & (cr > 0) & (cr < 255)
-    # B/R bit-exact wherever the diff fit int8 (no clipping)
-    np.testing.assert_array_equal(b[unclipped], ce[..., 0][unclipped])
-    np.testing.assert_array_equal(r[unclipped], ce[..., 2][unclipped])
-    # G bit-exact wherever the residual fit int4 — which is everywhere the
-    # chroma diffs didn't clip (prediction error ≤ ~±3 there) and almost
-    # everywhere they did (heavily-clipped B/R skew the prediction; 1 of
-    # 131072 pixels on the worst-case random-chroma frame here)
     resid_fit = (e > 0) & (e < 15)
-    np.testing.assert_array_equal(g[resid_fit], ce[..., 1][resid_fit])
-    np.testing.assert_array_equal(g[unclipped], ce[..., 1][unclipped])
+    # B/R bit-exact wherever the diff fit int8; G wherever its residual
+    # fit int4 (everywhere the chroma didn't clip, and almost everywhere
+    # it did)
+    np.testing.assert_array_equal(rec[..., 0][unclipped], ce[..., 0][unclipped])
+    np.testing.assert_array_equal(rec[..., 2][unclipped], ce[..., 2][unclipped])
+    np.testing.assert_array_equal(rec[..., 1][resid_fit], ce[..., 1][resid_fit])
+    np.testing.assert_array_equal(rec[..., 1][unclipped], ce[..., 1][unclipped])
     # the smooth natural-image frame reconstructs fully bit-exact
     assert unclipped[0].all()
-    np.testing.assert_array_equal(b[0], ce[0, ..., 0])
-    np.testing.assert_array_equal(g[0], ce[0, ..., 1])
-    np.testing.assert_array_equal(r[0], ce[0, ..., 2])
+    np.testing.assert_array_equal(rec[0], ce[0])
 
 
 def test_run_yuv444_bit_identical_to_process_batch() -> None:

@@ -77,3 +77,28 @@ def test_prefetcher_cycles_and_shuffles() -> None:
         seen.extend(idx.tolist())
     pf.close()
     assert len(set(seen)) == 10  # every file visited across epochs
+
+
+def test_pack_yuv444_native_matches_numpy() -> None:
+    """The fused C++ yuv444 pack must be bit-identical to the numpy
+    fallback in engine.pack_inputs_yuv444 (the engine swaps between them
+    by availability; the device reconstruction assumes one codec)."""
+    if not nl.has_pack_yuv444():
+        pytest.skip("cvloader built without cvl_pack_yuv444")
+    from chessvision_tpu import engine as E
+
+    rng = np.random.default_rng(7)
+    batch = rng.integers(0, 256, (5, 512, 512, 3), np.uint8)
+    comp, gray = E.pack_inputs(batch)
+    cb_n, cr_n, gres_n = nl.pack_yuv444(comp, gray)
+
+    orig = nl.has_pack_yuv444
+    nl.has_pack_yuv444 = lambda: False
+    try:
+        gray2, cb2, cr2, gres2 = E.pack_inputs_yuv444(batch)
+    finally:
+        nl.has_pack_yuv444 = orig
+    np.testing.assert_array_equal(gray, gray2)
+    np.testing.assert_array_equal(cb_n, cb2)
+    np.testing.assert_array_equal(cr_n, cr2)
+    np.testing.assert_array_equal(gres_n, gres2)
