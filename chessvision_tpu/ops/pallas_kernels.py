@@ -16,8 +16,14 @@ Two configurations (measure with scripts/microbench.py):
   VPU terms of the XLA full-width form.  Measured 68–80 ms vs XLA's 59 ms
   per 128 boards on v5e at round 2 — switch/layout overhead ate the win.
 - ``narrow`` (window 128, 64-output tiles, start quantized to 32): ¼ the
-  terms; smaller tiles pay more switch overhead per term — the shape
-  round 2 never measured.
+  terms; smaller tiles pay more switch overhead per term.  Measured at
+  round 3 on v5e: 69.2 ms vs wide's 60.8 and XLA full-width's ~55 — AND
+  the 64-lane output tiles miscompile under this backend's Mosaic
+  (results differ from the reference; interpret mode is correct).  Kept
+  as an interpret-mode reference only; never dispatched in production.
+  With ARCHITECTURE.md's arithmetic showing XLA full-width already at
+  81–97% of VPU peak, banding cannot win here: a ≥2× term reduction is
+  eaten by switch/layout overhead before it reaches the ALUs.
 
 Window-coverage bound: positions are affine-monotone within a tile and a
 quadrangle contained in a 512² image has per-axis sampling scale ≤ ~1.42
