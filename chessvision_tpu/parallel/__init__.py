@@ -10,16 +10,20 @@ from chessvision_tpu.parallel.mesh import (
     create_mesh,
     data_sharding,
     initialize_distributed,
+    make_global_batch,
     process_local_batch_slice,
     replicate,
     shard_batch,
+    spans_processes,
 )
 
 __all__ = [
     "create_mesh",
     "data_sharding",
     "initialize_distributed",
+    "make_global_batch",
     "process_local_batch_slice",
     "replicate",
     "shard_batch",
+    "spans_processes",
 ]

@@ -97,6 +97,34 @@ def process_local_batch_slice(global_batch: int) -> tuple[int, int]:
     return start, stop
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of more than one process."""
+    return len({d.process_index for d in mesh.devices.ravel()}) > 1
+
+
+def make_global_batch(mesh: Mesh | None, arr: Any) -> Any:
+    """Host batch → batch-sharded global ``jax.Array``.
+
+    The multi-host input-pipeline primitive for the trainers: every
+    process computes the SAME full global batch (deterministic seeded
+    sampling), but only contributes the rows its own devices shard —
+    paired ``process_local_batch_slice`` +
+    ``jax.make_array_from_process_local_data``.  Row ownership matches
+    the slice because ``create_mesh`` lays devices out in process order
+    with equal per-process counts.  Single-process: a plain sharded
+    device_put (or jnp.asarray when no mesh)."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray(arr)
+    arr = np.asarray(arr)
+    sharding = data_sharding(mesh, arr.ndim)
+    if not spans_processes(mesh):
+        return jax.device_put(arr, sharding)
+    start, stop = process_local_batch_slice(len(arr))
+    return jax.make_array_from_process_local_data(sharding, arr[start:stop])
+
+
 def data_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
     """NamedSharding that shards ``batch_axis`` over the data axis."""
     spec = [None] * ndim

@@ -19,7 +19,7 @@ Layout on disk:
         bulk/             — checkpoints and other artifacts
 """
 
-from chessvision_tpu.runstore.runs import Run, init
+from chessvision_tpu.runstore.runs import NullRun, Run, init
 from chessvision_tpu.runstore.tables import Table
 
-__all__ = ["Run", "Table", "init"]
+__all__ = ["NullRun", "Run", "Table", "init"]

@@ -136,6 +136,47 @@ class Run:
         self.write_metrics_table(metrics_name, cols)
 
 
+class NullRun:
+    """No-op Run for non-main processes in multi-host training: only
+    process 0 owns the run directory, scalars, and artifacts; every other
+    process logs into the void (their metric values are replicas of
+    process 0's anyway)."""
+
+    def __init__(self) -> None:
+        import tempfile
+        from pathlib import Path as _Path
+
+        self.project = "null"
+        self.name = "null"
+        self.dir = _Path(tempfile.mkdtemp(prefix="cvtpu-nullrun-"))
+        self.bulk_data_url = self.dir
+
+    @property
+    def parameters(self) -> dict[str, Any]:
+        return {}
+
+    def set_parameters(self, parameters: dict[str, Any]) -> None:
+        pass
+
+    def set_status_completed(self) -> None:
+        pass
+
+    def log(self, values: dict[str, Any]) -> None:
+        pass
+
+    def scalars(self) -> list[dict[str, Any]]:
+        return []
+
+    def write_metrics_table(self, name: str, columns: dict[str, Any]) -> None:
+        return None
+
+    def list_metrics_tables(self) -> list[str]:
+        return []
+
+    def reduce_embeddings(self, metrics_name: str, column: str = "embedding", n_components: int = 2) -> None:
+        pass
+
+
 def _tofloat(v: Any) -> Any:
     try:
         return float(v)

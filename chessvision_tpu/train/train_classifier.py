@@ -65,7 +65,12 @@ def train_model(
 
     from chessvision_tpu import models, runstore
     from chessvision_tpu.checkpoint import save_checkpoint
-    from chessvision_tpu.parallel import create_mesh, replicate
+    from chessvision_tpu.parallel import (
+        create_mesh,
+        make_global_batch,
+        replicate,
+        spans_processes,
+    )
     from chessvision_tpu.runstore import metrics as collectors
     from chessvision_tpu.train import data as data_lib
     from chessvision_tpu.train.augment import augment_classification_batch
@@ -75,7 +80,10 @@ def train_model(
     if model_dtype is None:
         model_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    run = runstore.init(
+    # multi-host: same loop on every process over the same seeded data
+    # order; only process 0 owns the run dir, logs, and checkpoints
+    is_main = jax.process_index() == 0
+    run = runstore.NullRun() if not is_main else runstore.init(
         PIECE_CLASSIFICATION_PROJECT,
         run_name,
         parameters={
@@ -179,16 +187,30 @@ def train_model(
         m["embedding"] = features
         return m
 
+    @jax.jit
+    def masked_correct(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray):
+        """Correct-count over the real (unpadded) rows, computed in-jit so
+        only a replicated scalar crosses to host — multi-process-safe
+        (pulling the sharded logits would not be)."""
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats}, images
+        )
+        return jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+
     def run_validation(state: TrainState) -> tuple[float, float]:
         losses, correct, total = 0.0, 0, 0
         for idx in data_lib.batches(n_val, 512):
             idx, real = data_lib.pad_indices(idx, 512)
-            imgs = jnp.asarray(data.val_images[idx], jnp.float32)[..., None] / 255.0
-            labs = jnp.asarray(data.val_labels[idx])
+            imgs = make_global_batch(
+                mesh, data.val_images[idx].astype(np.float32)[..., None] / 255.0
+            )
+            labs = make_global_batch(mesh, np.asarray(data.val_labels[idx]))
+            mask = make_global_batch(
+                mesh, (np.arange(len(idx)) < real).astype(np.float32)
+            )
             m = eval_step(state, imgs, labs)
-            pred_ok = np.asarray(m["logits"]).argmax(-1)[:real] == np.asarray(labs)[:real]
             losses += float(m["loss"]) * real  # padded dupes shift loss negligibly
-            correct += int(pred_ok.sum())
+            correct += int(masked_correct(state, imgs, labs, mask))
             total += real
         return losses / total, correct / total
 
@@ -248,11 +270,13 @@ def train_model(
         final_epoch = epoch
         epoch_loss, correct_sum, seen = 0.0, 0.0, 0
         for idx in data_lib.batches(n_train, batch_size, rng=rng_np, weights=weights, drop_last=True):
-            imgs = jnp.asarray(data.train_images[idx], jnp.float32)[..., None] / 255.0
+            imgs = make_global_batch(
+                mesh, data.train_images[idx].astype(np.float32)[..., None] / 255.0
+            )
             if augment:
                 key, sub = jax.random.split(key)
                 imgs = augment_classification_batch(sub, imgs, cutout=cutout)
-            labs = jnp.asarray(data.train_labels[idx])
+            labs = make_global_batch(mesh, np.asarray(data.train_labels[idx]))
             state, metrics = train_step(state, imgs, labs)
             if ema_params is not None:
                 ema_params = ema_update(ema_params, state.params)
@@ -284,23 +308,26 @@ def train_model(
             # raw params stay paired with opt_state (a consistent resume
             # point); the EMA view — the one validated and promoted for
             # inference — is stored separately under "ema_params"
-            variables = {
-                "params": jax.tree.map(np.asarray, state.params),
-                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-            }
-            if ema_params is not None:
-                variables["ema_params"] = jax.tree.map(np.asarray, ema_params)
-            save_checkpoint(
-                checkpoint_path,
-                variables,
-                {"best_val_score": best_val_acc, "epoch": epoch, "training_config": training_config},
-                opt_state=jax.tree.map(np.asarray, state.opt_state),
-            )
-            logger.info("Checkpoint %d saved (val acc %.4f)", epoch, best_val_acc)
+            if is_main:
+                variables = {
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                }
+                if ema_params is not None:
+                    variables["ema_params"] = jax.tree.map(np.asarray, ema_params)
+                save_checkpoint(
+                    checkpoint_path,
+                    variables,
+                    {"best_val_score": best_val_acc, "epoch": epoch, "training_config": training_config},
+                    opt_state=jax.tree.map(np.asarray, state.opt_state),
+                )
+                logger.info("Checkpoint %d saved (val acc %.4f)", epoch, best_val_acc)
         else:
             patience_counter += 1
 
-        if epoch in collection_epochs:
+        if epoch in collection_epochs and mesh is not None and spans_processes(mesh):
+            logger.info("Skipping metrics collection (multi-process mesh)")
+        elif epoch in collection_epochs:
             for split, imgs_a, labs_a, ids in (
                 ("train", data.train_images, data.train_labels, data.train_ids),
                 ("val", data.val_images, data.val_labels, data.val_ids),
@@ -363,12 +390,19 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--schedule", choices=("step", "cosine"), default="step", help="LR schedule: reference StepLR or warmup-cosine")
     parser.add_argument("--cutout", action="store_true", help="random-erasing augmentation (occlusion robustness)")
     parser.add_argument("--promote", action="store_true")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: jax.distributed coordinator host:port")
+    parser.add_argument("--num-processes", type=int, default=None, help="multi-host: process count")
+    parser.add_argument("--process-id", type=int, default=None, help="multi-host: this process's index")
     return parser.parse_args()
 
 
 def main() -> None:
     args = get_args()
     setup_logger("chessvision_tpu")
+    from chessvision_tpu.parallel import initialize_distributed
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     run, checkpoint_path = train_model(
         model_id=args.model_id,
         epochs=args.epochs,
@@ -391,6 +425,10 @@ def main() -> None:
         schedule_kind=args.schedule,
         cutout=args.cutout,
     )
+    import jax
+
+    if jax.process_index() != 0:
+        return  # promotion/eval are process-0 work in multi-host runs
     from pathlib import Path
 
     from chessvision_tpu.checkpoint import promote_checkpoint

@@ -62,7 +62,12 @@ def train_model(
 
     from chessvision_tpu import models, runstore
     from chessvision_tpu.checkpoint import save_checkpoint
-    from chessvision_tpu.parallel import create_mesh, replicate
+    from chessvision_tpu.parallel import (
+        create_mesh,
+        make_global_batch,
+        replicate,
+        spans_processes,
+    )
     from chessvision_tpu.runstore import metrics as collectors
     from chessvision_tpu.train import data as data_lib
     from chessvision_tpu.train.augment import augment_segmentation_batch
@@ -72,7 +77,10 @@ def train_model(
     if model_dtype is None:
         model_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    run = runstore.init(
+    # multi-host: every process runs the same loop on the same seeded
+    # data order; only process 0 owns the run dir, logs, and checkpoints
+    is_main = jax.process_index() == 0
+    run = runstore.NullRun() if not is_main else runstore.init(
         BOARD_EXTRACTION_PROJECT,
         run_name,
         parameters={
@@ -193,8 +201,8 @@ def train_model(
         total = 0
         for idx in data_lib.batches(n_val, batch_size, drop_last=False):
             idx, real = data_lib.pad_indices(idx, batch_size)
-            imgs = jnp.asarray(data.val_images[idx], jnp.float32) / 255.0
-            msks = jnp.asarray(data.val_masks[idx])
+            imgs = make_global_batch(mesh, data.val_images[idx].astype(np.float32) / 255.0)
+            msks = make_global_batch(mesh, np.asarray(data.val_masks[idx], np.float32))
             # padded rows repeat the last sample; dice is per-batch mean, so
             # weight by the real count for the aggregate
             scores.append(float(eval_step(state, imgs, msks)) * real)
@@ -216,11 +224,12 @@ def train_model(
         "base": base,
         "optimizer": optimizer,
     }
-    save_checkpoint(
-        checkpoint_path,
-        {"params": jax.tree.map(np.asarray, state.params), "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
-        {"best_val_score": float("-inf"), "training_config": training_config, "epoch": 0},
-    )
+    if is_main:
+        save_checkpoint(
+            checkpoint_path,
+            {"params": jax.tree.map(np.asarray, state.params), "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
+            {"best_val_score": float("-inf"), "training_config": training_config, "epoch": 0},
+        )
 
     weights = None
     if use_sample_weights:
@@ -273,8 +282,8 @@ def train_model(
         for i, idx in enumerate(
             data_lib.batches(n_train, batch_size, rng=rng_np, weights=weights, drop_last=True)
         ):
-            imgs = jnp.asarray(data.train_images[idx], jnp.float32) / 255.0
-            msks = jnp.asarray(data.train_masks[idx])
+            imgs = make_global_batch(mesh, data.train_images[idx].astype(np.float32) / 255.0)
+            msks = make_global_batch(mesh, np.asarray(data.train_masks[idx], np.float32))
             if augment:
                 key, sub = jax.random.split(key)
                 imgs, msks = augment_segmentation_batch(sub, imgs, msks)
@@ -306,25 +315,32 @@ def train_model(
             # raw params stay paired with opt_state (a consistent resume
             # point); the EMA view — the one validated and promoted for
             # inference — is stored separately under "ema_params"
-            variables = {
-                "params": jax.tree.map(np.asarray, state.params),
-                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-            }
-            if ema_params is not None:
-                variables["ema_params"] = jax.tree.map(np.asarray, ema_params)
-            save_checkpoint(
-                checkpoint_path,
-                variables,
-                {"best_val_score": best_val_score, "epoch": epoch, "training_config": training_config},
-                opt_state=jax.tree.map(np.asarray, state.opt_state),
-            )
-            logger.info("Checkpoint %d saved (dice %.4f)", epoch, best_val_score)
+            if is_main:
+                variables = {
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                }
+                if ema_params is not None:
+                    variables["ema_params"] = jax.tree.map(np.asarray, ema_params)
+                save_checkpoint(
+                    checkpoint_path,
+                    variables,
+                    {"best_val_score": best_val_score, "epoch": epoch, "training_config": training_config},
+                    opt_state=jax.tree.map(np.asarray, state.opt_state),
+                )
+                logger.info("Checkpoint %d saved (dice %.4f)", epoch, best_val_score)
         else:
             patience_counter += 1
 
         run.log({"train_loss": epoch_loss / steps_per_epoch, "epoch": epoch})
 
-        if epoch in collection_epochs:
+        if epoch in collection_epochs and mesh is not None and spans_processes(mesh):
+            # per-sample collection pulls SHARDED arrays to host, which a
+            # multi-process run cannot do without an allgather; curation
+            # passes run single-host (the tables/metrics platform is a
+            # host-side workflow)
+            logger.info("Skipping metrics collection (multi-process mesh)")
+        elif epoch in collection_epochs:
             for split, imgs_a, msks_a, ids in (
                 ("train", data.train_images, data.train_masks, data.train_ids),
                 ("val", data.val_images, data.val_masks, data.val_ids),
@@ -383,12 +399,21 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--optimizer", type=str, default="rmsprop", choices=["rmsprop", "adam"])
     parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
     parser.add_argument("--promote", action="store_true", help="copy best checkpoint to weights/")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: jax.distributed coordinator host:port")
+    parser.add_argument("--num-processes", type=int, default=None, help="multi-host: process count")
+    parser.add_argument("--process-id", type=int, default=None, help="multi-host: this process's index")
     return parser.parse_args()
 
 
 def main() -> None:
     args = get_args()
     setup_logger("chessvision_tpu")
+    # join the multi-host cluster BEFORE any backend query (explicit args
+    # or env autodetection; plain single-process runs are a no-op)
+    from chessvision_tpu.parallel import initialize_distributed
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     run, checkpoint_path = train_model(
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -408,6 +433,10 @@ def main() -> None:
         resume=args.resume,
         ema_decay=args.ema_decay,
     )
+    import jax
+
+    if jax.process_index() != 0:
+        return  # promotion/eval are process-0 work in multi-host runs
     from pathlib import Path
 
     from chessvision_tpu.checkpoint import promote_checkpoint

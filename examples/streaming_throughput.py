@@ -3,8 +3,9 @@
 Shows the intended high-throughput deployment shape on a directly-attached
 TPU host (reference has no analogue — its pipeline is per-image):
 
-1. pack frames on host (exact INTER_AREA + fixed-point grayscale — 1.7×
-   fewer host→device bytes than raw frames, bit-identical FENs), and
+1. pack frames on host — ``pack_inputs_yuv444`` (C++-fused, 416
+   KB/board, 1.85× fewer host→device bytes than raw frames, BIT-IDENTICAL
+   FENs) or ``pack_inputs`` (448 KB, simplest) — and
 2. feed batches through ``Engine.run_stream`` so the upload of batch i+1
    overlaps the device compute of batch i.
 
@@ -26,7 +27,10 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from chessvision_tpu import ChessVision, constants  # noqa: E402
-from chessvision_tpu.engine import pack_inputs, validate_labels_batch  # noqa: E402
+from chessvision_tpu.engine import (  # noqa: E402
+    pack_inputs_yuv444,
+    validate_labels_batch,
+)
 from chessvision_tpu.chessboard import labels_to_fen  # noqa: E402
 
 
@@ -57,15 +61,14 @@ def main() -> None:
     # process/thread pool (or the C++ cvloader) running ahead of the device
     def packed_batches():
         for _ in range(n_batches):
-            yield pack_inputs(batch)
+            yield pack_inputs_yuv444(batch)
 
     # warm the compiled program (first compile is slow; cached afterwards)
-    comp, gray = pack_inputs(batch[:bsz])
-    np.asarray(engine.run_packed(comp, gray)["found"])
+    np.asarray(engine.run_yuv444(*pack_inputs_yuv444(batch[:bsz]))["found"])
 
     t0 = time.perf_counter()
     n_boards = 0
-    for out in engine.run_stream(packed_batches(), kind="packed"):
+    for out in engine.run_stream(packed_batches(), kind="yuv444"):
         probs = np.asarray(out["probabilities"])  # D2H sync point
         found = np.asarray(out["found"])
         validated, _ = validate_labels_batch(probs, square_names)

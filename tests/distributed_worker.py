@@ -29,6 +29,7 @@ def main() -> int:
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", choices=["step", "trainer"], default="step")
     args = ap.parse_args()
 
     # per-process virtual CPU device count (replace any inherited setting)
@@ -62,6 +63,9 @@ def main() -> int:
 
     import jax.numpy as jnp
     import numpy as np
+
+    if args.mode == "trainer":
+        return run_trainer_mode(args)
 
     from chessvision_tpu import models
     from chessvision_tpu.train.steps import (
@@ -115,6 +119,81 @@ def main() -> int:
         "dice": float(np.asarray(metrics["dice"])),
         "param_norm": float(np.asarray(pnorm)),
     }
+    with open(f"{args.out}.{args.process_id}.json", "w") as f:
+        json.dump(record, f)
+    jax.distributed.shutdown()
+    return 0
+
+
+def synthetic_seg_data():
+    """Tiny deterministic segmentation dataset (same on every process)."""
+    import numpy as np
+
+    from chessvision_tpu.train.data import SegmentationData
+
+    rng = np.random.default_rng(123)
+    imgs = rng.integers(0, 256, (24, 256, 256, 3), np.uint8)
+    masks = (rng.random((24, 256, 256)) > 0.7).astype(np.float32)
+    return SegmentationData(
+        train_images=imgs[:16],
+        train_masks=masks[:16],
+        val_images=imgs[16:],
+        val_masks=masks[16:],
+        train_ids=[f"t{i}" for i in range(16)],
+        val_ids=[f"v{i}" for i in range(8)],
+    )
+
+
+def run_trainer_mode(args) -> int:
+    """Run the REAL `train_unet.train_model` loop under the 2-process
+    cluster (synthetic data, tiny UNet) — validates the trainer's
+    multi-host data pipeline (make_global_batch), process-0-only
+    checkpoint/run ownership, and loss/param parity with single-process
+    training (asserted by the parent test)."""
+    import tempfile
+    import os as _os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _os.environ.setdefault("CVTPU_STORE_ROOT", tempfile.mkdtemp(prefix="cvtpu-dist-"))
+
+    from chessvision_tpu.train import data as data_lib
+    from chessvision_tpu.train import train_unet
+
+    data_lib.load_board_extraction = lambda *a, **k: synthetic_seg_data()
+
+    run, checkpoint_path = train_unet.train_model(
+        epochs=2,
+        batch_size=8,
+        base=4,
+        model_dtype=jnp.float32,
+        collection_frequency=1,  # exercises the multi-process skip path
+        patience=99,
+        validations_per_epoch=2,
+        augment=False,
+        use_mesh=True,
+        seed=7,
+    )
+    from pathlib import Path
+
+    is_main = jax.process_index() == 0
+    ck = Path(checkpoint_path)
+    record = {
+        "process_id": args.process_id,
+        "process_count": int(jax.process_count()),
+        "is_main": is_main,
+        "checkpoint_exists": ck.exists(),
+        "run_is_null": type(run).__name__ == "NullRun",
+    }
+    if ck.exists():
+        from chessvision_tpu.checkpoint import load_checkpoint
+
+        variables, meta = load_checkpoint(ck)
+        sq = [float(np.vdot(x, x)) for x in jax.tree.leaves(variables["params"])]
+        record["param_norm"] = float(np.sqrt(np.sum(sq)))
+        record["best_val_score"] = float(meta.get("best_val_score", float("nan")))
     with open(f"{args.out}.{args.process_id}.json", "w") as f:
         json.dump(record, f)
     jax.distributed.shutdown()

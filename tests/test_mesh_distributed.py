@@ -145,3 +145,90 @@ def test_two_process_distributed_step_matches_single_process(tmp_path) -> None:
     np.testing.assert_allclose(records[0]["loss"], float(metrics["loss"]), rtol=1e-4)
     np.testing.assert_allclose(records[0]["dice"], float(metrics["dice"]), rtol=1e-4)
     np.testing.assert_allclose(records[0]["param_norm"], pnorm, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_trainer_matches_single_process(tmp_path, monkeypatch) -> None:
+    """The REAL trainer loop (`train_unet.train_model`) under a 2-process
+    cluster: multi-host input pipeline (make_global_batch), process-0-only
+    run/checkpoint ownership, collection skip — and final-checkpoint
+    parity with the identical single-process run on the same synthetic
+    data (8 global devices either way, so the math is identical)."""
+    worker = Path(__file__).parent / "distributed_worker.py"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out_base = tmp_path / "dtrain"
+    env = dict(os.environ)
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "CVTPU_DISTRIBUTED"):
+        env.pop(v, None)
+    repo_root = Path(__file__).parent.parent
+    env["PYTHONPATH"] = str(repo_root) + os.pathsep + env.get("PYTHONPATH", "")
+    env["CVTPU_STORE_ROOT"] = str(tmp_path / "dist_store")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(worker),
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2",
+                "--process-id", str(i),
+                "--out", str(out_base),
+                "--mode", "trainer",
+            ],
+            env=env,
+            cwd=str(repo_root),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed trainer worker timed out")
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    records = [
+        json.loads((tmp_path / f"dtrain.{i}.json").read_text()) for i in range(2)
+    ]
+    r0 = next(r for r in records if r["process_id"] == 0)
+    r1 = next(r for r in records if r["process_id"] == 1)
+    assert r0["process_count"] == 2 and r1["process_count"] == 2
+    # only process 0 owns the run and checkpoint
+    assert r0["is_main"] and not r0["run_is_null"] and r0["checkpoint_exists"]
+    assert not r1["is_main"] and r1["run_is_null"]
+
+    # single-process reference with identical args/data (8 local devices)
+    from chessvision_tpu.checkpoint import load_checkpoint
+    from chessvision_tpu.train import data as data_lib
+    from chessvision_tpu.train import train_unet
+    from tests.distributed_worker import synthetic_seg_data
+
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("CVTPU_STORE_ROOT", str(tmp_path / "local_store"))
+    monkeypatch.setattr(data_lib, "load_board_extraction", lambda *a, **k: synthetic_seg_data())
+    _, ck = train_unet.train_model(
+        epochs=2,
+        batch_size=8,
+        base=4,
+        model_dtype=jnp.float32,
+        collection_frequency=99,  # collection pulls sharded arrays; not under test
+        patience=99,
+        validations_per_epoch=2,
+        augment=False,
+        use_mesh=True,
+        seed=7,
+    )
+    variables, meta = load_checkpoint(ck)
+    sq = [float(np.vdot(x, x)) for x in jax.tree.leaves(variables["params"])]
+    pnorm = float(np.sqrt(np.sum(sq)))
+    np.testing.assert_allclose(r0["param_norm"], pnorm, rtol=1e-4)
+    np.testing.assert_allclose(r0["best_val_score"], float(meta["best_val_score"]), rtol=1e-4)
