@@ -317,19 +317,28 @@ def reconstruct_comp_yuv444(
     return jnp.clip(comp, 0.0, 255.0)
 
 
+def _yuv_block_factors(gray: np.ndarray) -> tuple[int, int]:
+    """Validate a frame for YUV packing (dims divisible by the segmentation
+    input size) and return the (fh, fw) block factors.  Every pack path —
+    native, cv2, numpy — must go through this guard, or invalid sizes
+    surface as garbage output / an opaque in-jit reshape error instead of
+    a clear host-side ValueError."""
+    ih, iw = _INPUT_HW
+    h, w = gray.shape[1:3]
+    if h % ih or w % iw:
+        raise ValueError(
+            f"YUV packing needs frame dims divisible by {constants.INPUT_SIZE} "
+            f"(w, h); got {(w, h)} — use pack_inputs/the raw path for this size"
+        )
+    return h // ih, w // iw
+
+
 def _luma_block_sums(gray: np.ndarray) -> tuple[np.ndarray, int]:
     """(B, 256, 256) int32 area-block sums of the full-res luma and the
     block pixel count f2 — the shared host/device integer base of the
     yuv444 reconstruction."""
     ih, iw = _INPUT_HW
-    h, w = gray.shape[1:3]
-    if h % ih or w % iw or (32768 % ((h // ih) * (w // iw))):
-        raise ValueError(
-            f"YUV packing needs frame dims divisible by {constants.INPUT_SIZE} "
-            f"(w, h) with a power-of-two factor; got {(w, h)} — use "
-            f"pack_inputs/the raw path for this size"
-        )
-    fh, fw = h // ih, w // iw
+    fh, fw = _yuv_block_factors(gray)
     # accumulate in int32 WITHOUT materializing an upcast copy of the
     # full-res plane (an int64 astype of a (B, 512, 512) batch allocates
     # gigabytes and dominated the pack cost)
@@ -337,7 +346,7 @@ def _luma_block_sums(gray: np.ndarray) -> tuple[np.ndarray, int]:
     return s, fh * fw
 
 
-def _luma_downsample(gray: np.ndarray, images_len: int) -> np.ndarray:
+def _luma_downsample(gray: np.ndarray) -> np.ndarray:
     """Host replica of the device's area mean of the fixed-point luma
     (exact in float32 — integer partial sums)."""
     s, f2 = _luma_block_sums(gray)
@@ -354,6 +363,7 @@ def pack_inputs_yuv444(
     residual it stores is the one the device needs).  416 KB/board at
     512² — 1.85× fewer host→device bytes than raw frames."""
     comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
+    fh, fw = _yuv_block_factors(gray)  # guard BEFORE any pack path runs
     from chessvision_tpu import native_loader
 
     if native_loader.has_pack_yuv444():
@@ -361,19 +371,24 @@ def pack_inputs_yuv444(
         # enforced by tests/test_native_loader.py; ~50× less host time)
         cb, cr, gres = native_loader.pack_yuv444(comp, gray)
         return gray, cb, cr, gres
-    # rounded luma downsample: cv2's integer INTER_AREA is bit-equal to
-    # round-half-up of the block mean (golden-tested in ops) and ~10×
-    # cheaper than a numpy block-sum pass on weak hosts
-    try:
-        import cv2
+    y256r = None
+    if (fh, fw) == (2, 2):
+        # cv2's integer INTER_AREA is bit-equal to round-half-up of the
+        # block mean ONLY at factor 2 (measured: factors 4/8 differ on
+        # thousands of pixels) — use it for the production 512² size,
+        # fall through to the exact block-sum math elsewhere
+        try:
+            import cv2
 
-        y256r = np.stack(
-            [
-                cv2.resize(g, constants.INPUT_SIZE, interpolation=cv2.INTER_AREA)
-                for g in gray
-            ]
-        ).astype(np.int16)
-    except ImportError:
+            y256r = np.stack(
+                [
+                    cv2.resize(g, constants.INPUT_SIZE, interpolation=cv2.INTER_AREA)
+                    for g in gray
+                ]
+            ).astype(np.int16)
+        except ImportError:
+            pass
+    if y256r is None:
         sum4, f2 = _luma_block_sums(gray)
         y256r = ((2 * sum4 + f2) // (2 * f2)).astype(np.int16)
     # int16 throughout the small-range stages (fewer bytes touched)
@@ -406,7 +421,7 @@ def pack_inputs_yuv(images: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
     ih, iw = _INPUT_HW
     th, tw = ih // 2, iw // 2
-    y256 = _luma_downsample(gray, len(images))
+    y256 = _luma_downsample(gray)
     cb = comp[..., 0].astype(np.float32) - y256
     cr = comp[..., 2].astype(np.float32) - y256
     # 2×2 area-downsample the differences, offset-bias to uint8

@@ -185,7 +185,17 @@ def evaluate_model(
     for idxs in shape_groups.values():
         group = np.stack([imgs_native[i] for i in idxs])
         for start in range(0, len(idxs), batch_size):
-            res = cv_model.engine.process_batch(group[start : start + batch_size], threshold)
+            chunk = group[start : start + batch_size]
+            real = len(chunk)
+            # pad the tail to the full batch size: ONE compiled program per
+            # image shape instead of one per (shape × remainder) — remote
+            # XLA compiles are minutes each (CLAUDE.md); padded rows repeat
+            # the last image and are dropped below
+            if real < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - real, axis=0)]
+                )
+            res = cv_model.engine.process_batch(chunk, threshold)
             for bi, i in enumerate(idxs[start : start + batch_size]):
                 res_by_item[i] = (res, bi)
     elapsed = time.time() - t0

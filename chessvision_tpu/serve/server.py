@@ -94,13 +94,15 @@ class _MicroBatcher:
     analogue — every request pays a full per-image pipeline
     (cv_endpoint.py:136-192)."""
 
-    def __init__(self, engine: Any, max_batch: int = 16, timeout_s: float = 300.0) -> None:
+    def __init__(self, engine: Any, max_batch: int = 16, timeout_s: float = 900.0) -> None:
         import queue
 
         self.engine = engine
         self.max_batch = max_batch
-        # generous: a cold batch shape pays a full XLA compile; warmed
-        # shapes answer in well under a second
+        # generous: a COLD batch shape pays a full remote XLA compile,
+        # which is minutes on this backend (CLAUDE.md) — the timeout only
+        # needs to catch a dead worker, so it sits above worst-case
+        # compile; warmed shapes answer in well under a second
         self.timeout_s = timeout_s
         self.q: "queue.Queue" = queue.Queue()
         self._queue_mod = queue

@@ -74,7 +74,7 @@ def train_model(
     from chessvision_tpu.runstore import metrics as collectors
     from chessvision_tpu.train import data as data_lib
     from chessvision_tpu.train.augment import augment_classification_batch
-    from chessvision_tpu.train.steps import TrainState, make_cls_eval_step, make_cls_train_step
+    from chessvision_tpu.train.steps import TrainState, make_cls_train_step
 
     enable_compilation_cache()
     if model_dtype is None:
@@ -173,7 +173,6 @@ def train_model(
         state = jax.device_put(state, replicate(mesh))
 
     train_step = make_cls_train_step(mesh, label_smoothing=label_smoothing, freeze_bn=freeze_bn)
-    eval_step = make_cls_eval_step()
 
     @jax.jit
     def collect_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
@@ -188,14 +187,18 @@ def train_model(
         return m
 
     @jax.jit
-    def masked_correct(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray):
-        """Correct-count over the real (unpadded) rows, computed in-jit so
-        only a replicated scalar crosses to host — multi-process-safe
-        (pulling the sharded logits would not be)."""
+    def val_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray):
+        """One forward pass → (loss, correct-count over real rows).  Both
+        outputs are replicated scalars, so only scalars cross to host —
+        multi-process-safe (pulling the sharded logits would not be)."""
+        from chessvision_tpu.train import losses as losses_lib
+
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats}, images
         )
-        return jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        loss = losses_lib.cross_entropy(logits, labels)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        return loss, correct
 
     def run_validation(state: TrainState) -> tuple[float, float]:
         losses, correct, total = 0.0, 0, 0
@@ -208,9 +211,9 @@ def train_model(
             mask = make_global_batch(
                 mesh, (np.arange(len(idx)) < real).astype(np.float32)
             )
-            m = eval_step(state, imgs, labs)
-            losses += float(m["loss"]) * real  # padded dupes shift loss negligibly
-            correct += int(masked_correct(state, imgs, labs, mask))
+            loss, n_ok = val_step(state, imgs, labs, mask)
+            losses += float(loss) * real  # padded dupes shift loss negligibly
+            correct += int(n_ok)
             total += real
         return losses / total, correct / total
 

@@ -43,6 +43,15 @@ OUT = REPO / "tests" / "goldens" / "fen_goldens.json"
 
 def main() -> None:
     items = list(get_test_generator())
+    names = [name for _, name, _ in items]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # goldens key by bare filename; a same-named image in two test
+        # batches would silently overwrite a record — fail loudly instead
+        raise SystemExit(
+            f"duplicate test image names across batches: {sorted(dupes)} — "
+            "extend the golden keying (batch/name) before regenerating"
+        )
     cv = ChessVision(lazy_load=False)
     # fixed-size chunks (pad the tail) — ONE compiled program shape; the
     # single-core CI box can't afford a fresh XLA compile per batch size

@@ -260,3 +260,39 @@ def test_yuv_fen_agreement_on_test_set() -> None:
     assert list(found) == list(exact.board_found)
     agree = sum(1 for a, b in zip(yuv_fens, exact.fens) if a == b)
     assert agree >= int(0.78 * len(paths)), f"only {agree}/{len(paths)} FENs agree"
+
+
+def test_yuv_pack_size_guards_and_factors() -> None:
+    """Review regressions: every yuv444 pack path (native/cv2/numpy) must
+    reject non-divisible frames with a host-side ValueError (not garbage
+    or an in-jit crash); 4:2:0 must keep accepting non-power-of-two
+    integer factors (768²); and yuv444 must stay bit-exact at factor 4
+    (1024² — cv2's INTER_AREA is NOT bit-equal there, so the pack must
+    not use it)."""
+    import jax
+
+    from chessvision_tpu.engine import pack_inputs_yuv444, reconstruct_comp_yuv444
+
+    bad = np.zeros((1, 500, 500, 3), np.uint8)
+    with pytest.raises(ValueError):
+        pack_inputs_yuv444(bad)
+    with pytest.raises(ValueError):
+        pack_inputs_yuv(bad)
+
+    # 4:2:0 on 768² (factor 3) — accepted, correct shapes
+    imgs768 = np.random.default_rng(5).integers(0, 256, (1, 768, 768, 3), np.uint8)
+    y, cb, cr = pack_inputs_yuv(imgs768)
+    assert y.shape == (1, 768, 768) and cb.shape == (1, 128, 128)
+
+    # yuv444 at factor 4 (1024²): device reconstruction still bit-exact
+    # on unclipped pixels
+    import cv2
+
+    base = np.random.default_rng(6).integers(80, 176, (4, 4, 3), np.uint8)
+    img = cv2.resize(base, (1024, 1024), interpolation=cv2.INTER_LINEAR)
+    comp_exact, _ = pack_inputs(img[None])
+    y, cb, cr, gres = pack_inputs_yuv444(img[None])
+    rec = np.asarray(jax.jit(reconstruct_comp_yuv444)(y, cb, cr, gres))
+    unclipped = (cb > 0) & (cb < 255) & (cr > 0) & (cr < 255)
+    assert unclipped.all()
+    np.testing.assert_array_equal(rec[0], comp_exact[0].astype(np.float32))

@@ -185,8 +185,9 @@ def test_evaluate_model_groups_by_native_resolution(tmp_path, monkeypatch) -> No
     assert agg["num_images"] == 3
     assert agg["top_1_accuracy_validated"] == 1.0
     assert agg["extraction_failures"] == 0
-    # one batch per native shape, full resolution preserved
-    assert sorted(engine.shapes) == [(1, 1024, 1024), (2, 512, 512)]
+    # one batch per native shape, full resolution preserved; tails padded
+    # to the uniform batch size (one compiled program per shape)
+    assert sorted(engine.shapes) == [(8, 512, 512), (8, 1024, 1024)]
 
 
 def test_evaluate_model_forced_uniform_size(tmp_path, monkeypatch) -> None:
@@ -204,7 +205,7 @@ def test_evaluate_model_forced_uniform_size(tmp_path, monkeypatch) -> None:
         image_size=512,
         batch_size=8,
     )
-    assert engine.shapes == [(2, 512, 512)]
+    assert engine.shapes == [(8, 512, 512)]
 
 
 def test_evaluate_model_metrics_table_order(tmp_path, monkeypatch) -> None:
