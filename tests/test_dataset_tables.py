@@ -67,3 +67,52 @@ def test_sweep_collect_and_plot(tmp_path) -> None:
     assert {r["best_val_score"] for r in rows} == {0.91, 0.95, 0.93}
     out = plot_sweep("sweep-proj", 7, out_path=str(tmp_path / "sweep.png"))
     assert Path(out).stat().st_size > 1000
+
+
+def test_yolo_seg_export(tmp_path) -> None:
+    """Mask→YOLO-seg export (reference
+    notebooks/prepare_yolo_segmentation_dataset.py capability): images +
+    normalized polygon labels + dataset.yaml, with the polygon covering
+    the mask's quadrilateral."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from chessvision_tpu.train.yolo_export import (
+        export_yolo_segmentation_dataset,
+        mask_to_polygon,
+    )
+
+    rng = np.random.default_rng(0)
+    masks = np.zeros((3, 256, 256), np.float32)
+    # axis-aligned boards at known positions
+    boxes = [(40, 40, 200, 220), (10, 90, 120, 240), (60, 5, 250, 100)]
+    for i, (y0, x0, y1, x1) in enumerate(boxes):
+        masks[i, y0:y1, x0:x1] = 1.0
+    data = SimpleNamespace(
+        train_images=rng.integers(0, 256, (2, 256, 256, 3), np.uint8),
+        train_masks=masks[:2],
+        train_ids=["a.JPG", "b.JPG"],
+        val_images=rng.integers(0, 256, (1, 256, 256, 3), np.uint8),
+        val_masks=masks[2:],
+        val_ids=["c.JPG"],
+    )
+    counts = export_yolo_segmentation_dataset(tmp_path / "ds", data=data)
+    assert counts == {"train": 2, "val": 1}
+    assert (tmp_path / "ds" / "dataset.yaml").exists()
+    assert (tmp_path / "ds" / "images" / "train" / "a.png").exists()
+
+    line = (tmp_path / "ds" / "labels" / "train" / "a.txt").read_text().strip()
+    parts = line.split()
+    assert parts[0] == "0" and len(parts) >= 7 and len(parts) % 2 == 1
+    xy = np.asarray([float(v) for v in parts[1:]]).reshape(-1, 2)
+    assert ((xy >= 0) & (xy <= 1)).all()
+    # polygon spans the box extents (normalized; contour is inclusive of
+    # the boundary pixel, so allow a 2px slack)
+    y0, x0, y1, x1 = boxes[0]
+    assert abs(xy[:, 0].min() * 256 - x0) <= 2 and abs(xy[:, 0].max() * 256 - (x1 - 1)) <= 2
+    assert abs(xy[:, 1].min() * 256 - y0) <= 2 and abs(xy[:, 1].max() * 256 - (y1 - 1)) <= 2
+
+    # hull fallback agrees with the cv2 contour on extents
+    hull_poly = mask_to_polygon(masks[0] * 255)
+    assert hull_poly is not None and len(hull_poly) >= 4
