@@ -193,10 +193,11 @@ def main() -> None:
     n_found = sum(1 for f in fens if f)
 
     # ---- compute-only (device-resident input) ----
-    # Measured at 4x the e2e batch: per-dispatch overhead on this backend
-    # is ~30 ms, so larger batches amortize it (849 -> 970 boards/s going
-    # 128 -> 512 on v5e); input is tiled on DEVICE so no extra link traffic.
-    cbsz = bsz if args.quick else bsz * 4
+    # Measured at 8x the e2e batch: per-dispatch overhead on this backend
+    # is ~30 ms, so larger batches amortize it (849 -> 968 -> 1003 boards/s
+    # going 128 -> 512 -> 1024 on v5e; 1024 fits HBM with the bf16 UNet);
+    # input is tiled on DEVICE so no extra link traffic.
+    cbsz = bsz if args.quick else bsz * 8
     dev_batch = jnp.tile(jnp.asarray(batch), (cbsz // bsz, 1, 1, 1))
     np.asarray(engine._jitted_closed(dev_batch, thr)["found"])
     t0 = time.perf_counter()
