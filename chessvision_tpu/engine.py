@@ -346,13 +346,6 @@ def _luma_block_sums(gray: np.ndarray) -> tuple[np.ndarray, int]:
     return s, fh * fw
 
 
-def _luma_downsample(gray: np.ndarray) -> np.ndarray:
-    """Host replica of the device's area mean of the fixed-point luma
-    (exact in float32 — integer partial sums)."""
-    s, f2 = _luma_block_sums(gray)
-    return (s.astype(np.float32)) * np.float32(1.0 / f2)
-
-
 def pack_inputs_yuv444(
     images: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -417,19 +410,36 @@ def pack_inputs_yuv(images: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     segmentation input (Cb = B−Y, Cr = R−Y, offset-128 uint8).  Chroma
     differences are smooth in natural images, so 4:2:0 subsampling costs
     almost nothing while every reconstructed channel keeps full luma
-    detail.  2.7× fewer host→device bytes than raw 512×512×3 frames."""
+    detail.  2.7× fewer host→device bytes than raw 512×512×3 frames.
+
+    The subsampled diff is defined in pure integer arithmetic —
+    round-half-up of (4·f2·ΣB − 4·ΣS)/(16·f2) over each 2×2 block, with
+    ΣB the comp-channel block sum and ΣS the luma block sums — so the
+    native C++ pack and this numpy fallback are bit-identical (enforced
+    by tests/test_native_loader.py)."""
     comp, gray = pack_inputs(images)  # exact INTER_AREA + fixed-point gray
+    _yuv_block_factors(gray)  # guard before any pack path
+    from chessvision_tpu import native_loader
+
+    if native_loader.has_pack_yuv420():
+        cb, cr = native_loader.pack_yuv420(comp, gray)
+        return gray, cb, cr
     ih, iw = _INPUT_HW
     th, tw = ih // 2, iw // 2
-    y256 = _luma_downsample(gray)
-    cb = comp[..., 0].astype(np.float32) - y256
-    cr = comp[..., 2].astype(np.float32) - y256
-    # 2×2 area-downsample the differences, offset-bias to uint8
-    cb = cb.reshape(len(images), th, 2, tw, 2).mean((2, 4))
-    cr = cr.reshape(len(images), th, 2, tw, 2).mean((2, 4))
-    cb = np.clip(np.floor(cb + 0.5) + 128.0, 0, 255).astype(np.uint8)
-    cr = np.clip(np.floor(cr + 0.5) + 128.0, 0, 255).astype(np.uint8)
-    return gray, cb, cr
+    b = len(images)
+    sum4, f2 = _luma_block_sums(gray)  # (B, 256, 256) int32
+    # 2×2 block sums of comp channels and luma sums (int32, exact)
+    s_l = sum4.reshape(b, th, 2, tw, 2).sum((2, 4), dtype=np.int32)  # ΣS ≤ 4f2·255
+    out = []
+    for ch in (0, 2):
+        s_c = (
+            comp[..., ch].reshape(b, th, 2, tw, 2).sum((2, 4), dtype=np.int32)
+        )  # ΣB ≤ 1020
+        # mean diff = ΣB/4 − ΣS/(4f2); round-half-up via integer floor div
+        num = 2 * (s_c * f2 - s_l) + 4 * f2
+        d = num // (8 * f2)
+        out.append(np.clip(d + 128, 0, 255).astype(np.uint8))
+    return gray, out[0], out[1]
 
 
 def pack_inputs(images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

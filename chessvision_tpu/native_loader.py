@@ -79,6 +79,13 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         lib.cvl_pack_yuv444.restype = None
+    if hasattr(lib, "cvl_pack_yuv420"):
+        lib.cvl_pack_yuv420.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.cvl_pack_yuv420.restype = None
     _lib = lib
     return lib
 
@@ -86,6 +93,35 @@ def _load() -> ctypes.CDLL | None:
 def has_pack_yuv444() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "cvl_pack_yuv444")
+
+
+def has_pack_yuv420() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "cvl_pack_yuv420")
+
+
+def pack_yuv420(
+    comp: np.ndarray, gray: np.ndarray, n_threads: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused C++ packing for the approximate 4:2:0 mode: (cb, cr)
+    subsampled chroma diffs from comp+gray (bit-identical to
+    engine.pack_inputs_yuv's numpy fallback)."""
+    lib = _load()
+    n, ih, iw = comp.shape[0], comp.shape[1], comp.shape[2]
+    fh, fw = gray.shape[1] // ih, gray.shape[2] // iw
+    comp = np.ascontiguousarray(comp)
+    gray = np.ascontiguousarray(gray)
+    cb = np.empty((n, ih // 2, iw // 2), np.uint8)
+    cr = np.empty((n, ih // 2, iw // 2), np.uint8)
+    lib.cvl_pack_yuv420(
+        comp.ctypes.data_as(ctypes.c_void_p),
+        gray.ctypes.data_as(ctypes.c_void_p),
+        n, ih, iw, fh, fw,
+        cb.ctypes.data_as(ctypes.c_void_p),
+        cr.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    return cb, cr
 
 
 def pack_yuv444(

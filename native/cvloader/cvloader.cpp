@@ -463,6 +463,70 @@ void cvl_pack_yuv444(const uint8_t* comp, const uint8_t* gray, int n, int ih,
   });
 }
 
+// Fused host-side packing for the engine's approximate 4:2:0 input mode
+// (chessvision_tpu/engine.py pack_inputs_yuv): 2x-subsampled chroma
+// differences against the (unrounded) luma block mean, in the same pure
+// integer arithmetic as the numpy fallback (bit-identical; enforced by
+// tests/test_native_loader.py).  comp: (n, ih, iw, 3) uint8 BGR; gray:
+// (n, ih*fh, iw*fw) uint8.  Outputs cb/cr: (n, ih/2, iw/2) uint8.
+void cvl_pack_yuv420(const uint8_t* comp, const uint8_t* gray, int n, int ih,
+                     int iw, int fh, int fw, uint8_t* cb, uint8_t* cr,
+                     int n_threads) {
+  const int f2 = fh * fw;
+  const int th = ih / 2, tw = iw / 2;
+  const int gw = iw * fw;
+  const int denom = 8 * f2;
+  const bool pow2 = (denom & (denom - 1)) == 0;
+  int sh = 0;
+  for (int d = denom; d > 1; d >>= 1) ++sh;  // log2(denom) when pow2
+  const size_t comp_img = size_t(ih) * iw * 3;
+  const size_t gray_img = size_t(ih) * fh * gw;
+  const size_t plane = size_t(th) * tw;
+  parallel_for(n, n_threads, [&](int i) {
+    const uint8_t* cimg = comp + size_t(i) * comp_img;
+    const uint8_t* gimg = gray + size_t(i) * gray_img;
+    uint8_t* cbo = cb + size_t(i) * plane;
+    uint8_t* cro = cr + size_t(i) * plane;
+    for (int oy = 0; oy < th; ++oy) {
+      // ΣS: gray sum over the (2fh)×(2fw) block
+      const uint8_t* grow0 = gimg + size_t(oy) * 2 * fh * gw;
+      uint8_t* cbrow = cbo + size_t(oy) * tw;
+      uint8_t* crrow = cro + size_t(oy) * tw;
+      for (int ox = 0; ox < tw; ++ox) {
+        int sl = 0;
+        const uint8_t* gp = grow0 + size_t(ox) * 2 * fw;
+        for (int dy = 0; dy < 2 * fh; ++dy) {
+          const uint8_t* gr = gp + size_t(dy) * gw;
+          for (int dx = 0; dx < 2 * fw; ++dx) sl += gr[dx];
+        }
+        int sb = 0, sr = 0;
+        for (int dy = 0; dy < 2; ++dy) {
+          const uint8_t* c =
+              cimg + (size_t(2 * oy + dy) * iw + size_t(2 * ox)) * 3;
+          sb += c[0] + c[3];
+          sr += c[2] + c[5];
+        }
+        // round-half-up of (ΣB·f2 − ΣS)/(4f2): floor((2Δ + 4f2)/(8f2))
+        for (int ch = 0; ch < 2; ++ch) {
+          const int s = ch == 0 ? sb : sr;
+          const int num = 2 * (s * f2 - sl) + 4 * f2;
+          int q;
+          if (pow2)
+            q = num >= 0 ? num >> sh : -((-num + denom - 1) >> sh);
+          else
+            q = num >= 0 ? num / denom : -((-num + denom - 1) / denom);
+          q += 128;
+          q = q < 0 ? 0 : (q > 255 ? 255 : q);
+          if (ch == 0)
+            cbrow[ox] = uint8_t(q);
+          else
+            crrow[ox] = uint8_t(q);
+        }
+      }
+    }
+  });
+}
+
 void cvl_prefetcher_destroy(void* handle) {
   auto* p = static_cast<Prefetcher*>(handle);
   {

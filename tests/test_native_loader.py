@@ -102,3 +102,27 @@ def test_pack_yuv444_native_matches_numpy() -> None:
     np.testing.assert_array_equal(cb_n, cb2)
     np.testing.assert_array_equal(cr_n, cr2)
     np.testing.assert_array_equal(gres_n, gres2)
+
+
+def test_pack_yuv420_native_matches_numpy() -> None:
+    """The fused C++ 4:2:0 pack must be bit-identical to the numpy
+    fallback (both implement the same integer round-half-up subsampled
+    diff), including non-power-of-two luma factors (768²)."""
+    if not nl.has_pack_yuv420():
+        pytest.skip("cvloader built without cvl_pack_yuv420")
+    from chessvision_tpu import engine as E
+
+    rng = np.random.default_rng(8)
+    for size in (512, 768):
+        batch = rng.integers(0, 256, (3, size, size, 3), np.uint8)
+        comp, gray = E.pack_inputs(batch)
+        cb_n, cr_n = nl.pack_yuv420(comp, gray)
+
+        orig = nl.has_pack_yuv420
+        nl.has_pack_yuv420 = lambda: False
+        try:
+            _, cb2, cr2 = E.pack_inputs_yuv(batch)
+        finally:
+            nl.has_pack_yuv420 = orig
+        np.testing.assert_array_equal(cb_n, cb2)
+        np.testing.assert_array_equal(cr_n, cr2)
