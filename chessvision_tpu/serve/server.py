@@ -104,7 +104,9 @@ class _MicroBatcher:
         # needs to catch a dead worker, so it sits above worst-case
         # compile; warmed shapes answer in well under a second
         self.timeout_s = timeout_s
-        self.q: "queue.Queue" = queue.Queue()
+        # bounded: a wedged (not dead) worker must shed load with 503s, not
+        # accumulate one ~512 KB image per timed-out retry forever
+        self.q: "queue.Queue" = queue.Queue(maxsize=max(64, 8 * max_batch))
         self._queue_mod = queue
         t = threading.Thread(target=self._loop, daemon=True, name="cv-microbatch")
         t.start()
@@ -112,7 +114,12 @@ class _MicroBatcher:
     def submit(self, img: np.ndarray, flip: bool) -> tuple[bool, str, np.ndarray]:
         ev = threading.Event()
         slot: dict[str, Any] = {}
-        self.q.put((img, bool(flip), ev, slot))
+        try:
+            self.q.put_nowait((img, bool(flip), ev, slot))
+        except self._queue_mod.Full:
+            raise TimeoutError(
+                "micro-batch queue full — worker overloaded or wedged"
+            ) from None  # handler maps TimeoutError to 503
         if not ev.wait(timeout=self.timeout_s):
             # worker wedged or dead — fail this request instead of hanging
             # the connection forever (mapped to 503 by the handler)

@@ -64,7 +64,11 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     def build(points):
         out: list[np.ndarray] = []
         for p in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            while len(out) >= 2:
+                a, b = out[-1] - out[-2], p - out[-2]
+                # 2-D cross product (np.cross on 2-vectors is deprecated)
+                if a[0] * b[1] - a[1] * b[0] > 0:
+                    break
                 out.pop()
             out.append(p)
         return out
@@ -82,12 +86,28 @@ def polygon_to_label_line(polygon: np.ndarray, h: int, w: int, class_id: int = 0
     return f"{class_id} {coords}"
 
 
+def _write_png(path: Path, img_bgr: np.ndarray) -> None:
+    """PNG writer: cv2 when present, else matplotlib (always in-tree) — so
+    the exporter's no-cv2 path (convex-hull polygons) works end to end."""
+    img_bgr = np.asarray(img_bgr)
+    try:
+        import cv2
+
+        cv2.imwrite(str(path), img_bgr)
+    except ImportError:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        rgb = img_bgr[..., ::-1] if img_bgr.ndim == 3 else img_bgr
+        plt.imsave(path, rgb, cmap=None if img_bgr.ndim == 3 else "gray")
+
+
 def export_yolo_segmentation_dataset(
     out_dir: str | Path, data=None, threshold: int = 127
 ) -> dict[str, int]:
     """Write the YOLO-seg dataset; returns per-split exported counts."""
-    import cv2
-
     if data is None:
         from chessvision_tpu.train.data import load_board_extraction
 
@@ -112,7 +132,7 @@ def export_yolo_segmentation_dataset(
                 logger.warning("Skipping %s: empty mask", ex_id)
                 continue
             stem = Path(str(ex_id)).stem
-            cv2.imwrite(str(img_dir / f"{stem}.png"), np.asarray(imgs[i]))
+            _write_png(img_dir / f"{stem}.png", imgs[i])
             h, w = mask.shape
             (lbl_dir / f"{stem}.txt").write_text(
                 polygon_to_label_line(poly, h, w) + "\n"

@@ -408,9 +408,12 @@ void cvl_pack_yuv444(const uint8_t* comp, const uint8_t* gray, int n, int ih,
                      uint8_t* gres, int n_threads) {
   const int f2 = fh * fw;
   const int gw = iw * fw;  // full-res width
-  // f2 is a power of two for every supported frame size (engine guard),
-  // so the rounded mean is a shift — a per-pixel integer division by a
-  // runtime divisor costs ~30 cycles and dominated this loop
+  // Fast path: when f2 is a power of two (true for the common 512/1024
+  // frame sizes, NOT guaranteed — the engine guard only enforces
+  // divisibility, so e.g. a 768-wide frame gives f2 = 9) the rounded mean
+  // is a shift; a per-pixel integer division by a runtime divisor costs
+  // ~30 cycles and dominated this loop.  Non-pow2 sizes take the division
+  // branch below and stay bit-identical, just slower.
   const bool pow2 = (f2 & (f2 - 1)) == 0;
   const int shift = pow2 ? __builtin_ctz(2 * f2) : 0;
   const size_t comp_img = size_t(ih) * iw * 3;

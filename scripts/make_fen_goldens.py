@@ -53,20 +53,28 @@ def main() -> None:
             "extend the golden keying (batch/name) before regenerating"
         )
     cv = ChessVision(lazy_load=False)
-    # fixed-size chunks (pad the tail) — ONE compiled program shape; the
-    # single-core CI box can't afford a fresh XLA compile per batch size
+    # group by native image shape (evaluate.py does the same — a future
+    # mixed-resolution test batch must not crash np.stack), then fixed-size
+    # chunks (pad the tail) — ONE compiled program shape per image shape;
+    # the single-core CI box can't afford a fresh XLA compile per batch size
     chunk = 8
+    shape_groups: dict[tuple, list] = {}
+    for it in items:
+        shape_groups.setdefault(it[0].shape, []).append(it)
     results: dict[str, dict] = {}
-    for start in range(0, len(items), chunk):
-        part = items[start : start + chunk]
-        batch = np.stack([img for img, _, _ in part])
-        real = len(part)
-        if real < chunk:
-            batch = np.concatenate([batch, np.repeat(batch[-1:], chunk - real, axis=0)])
-        res = cv.engine.process_batch(batch)
-        for i, (_, name, _) in enumerate(part):
-            results[name] = {"found": bool(res.board_found[i]), "fen": res.fens[i]}
-        print(f"  {start + real}/{len(items)}", flush=True)
+    done = 0
+    for group in shape_groups.values():
+        for start in range(0, len(group), chunk):
+            part = group[start : start + chunk]
+            batch = np.stack([img for img, _, _ in part])
+            real = len(part)
+            if real < chunk:
+                batch = np.concatenate([batch, np.repeat(batch[-1:], chunk - real, axis=0)])
+            res = cv.engine.process_batch(batch)
+            for i, (_, name, _) in enumerate(part):
+                results[name] = {"found": bool(res.board_found[i]), "fen": res.fens[i]}
+            done += real
+            print(f"  {done}/{len(items)}", flush=True)
     goldens = {
         "platform": "cpu",
         "note": "engine output FENs (not ground truth); regenerate with scripts/make_fen_goldens.py",

@@ -186,8 +186,10 @@ def test_evaluate_model_groups_by_native_resolution(tmp_path, monkeypatch) -> No
     assert agg["top_1_accuracy_validated"] == 1.0
     assert agg["extraction_failures"] == 0
     # one batch per native shape, full resolution preserved; tails padded
-    # to the uniform batch size (one compiled program per shape)
-    assert sorted(engine.shapes) == [(8, 512, 512), (8, 1024, 1024)]
+    # to the uniform batch size (one compiled program per shape), plus one
+    # warm-timing re-dispatch per shape group
+    assert sorted(set(engine.shapes)) == [(8, 512, 512), (8, 1024, 1024)]
+    assert len(engine.shapes) == 4
 
 
 def test_evaluate_model_forced_uniform_size(tmp_path, monkeypatch) -> None:
@@ -205,7 +207,8 @@ def test_evaluate_model_forced_uniform_size(tmp_path, monkeypatch) -> None:
         image_size=512,
         batch_size=8,
     )
-    assert engine.shapes == [(8, 512, 512)]
+    # one scoring batch + one warm-timing re-dispatch, both at the forced size
+    assert engine.shapes == [(8, 512, 512), (8, 512, 512)]
 
 
 def test_evaluate_model_metrics_table_order(tmp_path, monkeypatch) -> None:

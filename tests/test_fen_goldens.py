@@ -45,6 +45,14 @@ def engine():
 
 
 def _run_chunk(engine, items) -> dict[str, dict]:
+    shapes = {img.shape for img, _, _ in items}
+    if len(shapes) > 1:
+        # mixed native resolutions can't share one stacked batch — run one
+        # sub-chunk per shape (same grouping evaluate.py uses)
+        got: dict[str, dict] = {}
+        for shape in sorted(shapes):
+            got.update(_run_chunk(engine, [it for it in items if it[0].shape == shape]))
+        return got
     batch = np.stack([img for img, _, _ in items])
     real = len(items)
     if real < CHUNK:
