@@ -638,12 +638,22 @@ class Engine:
     # -- device path ---------------------------------------------------------
 
     def run_device(self, images: np.ndarray | jnp.ndarray, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
-        """Run the fused pipeline; returns device arrays (no host sync)."""
+        """Run the fused pipeline; returns device arrays (no host sync).
+
+        On a mesh, input rides the same multi-host input-pipeline primitive
+        the trainers use (``make_global_batch``): every process constructs
+        the full batch but device_puts only its own rows; XLA shards the
+        program over the whole (possibly cross-process) mesh.  When the
+        mesh spans processes the outputs are all-gathered to every host
+        first (eager ops on cross-process arrays are illegal), so the
+        returned arrays are host numpy there."""
         if self.mesh is not None:
             n = self.mesh.size
             images, orig = mesh_lib.pad_to_multiple(np.asarray(images), n)
-            images = jax.device_put(images, mesh_lib.data_sharding(self.mesh, 4))
-            out = self._jitted_closed(images, jnp.float32(threshold))
+            global_images = mesh_lib.make_global_batch(self.mesh, images)
+            out = self._jitted_closed(global_images, jnp.float32(threshold))
+            if mesh_lib.spans_processes(self.mesh):
+                out = mesh_lib.host_gather(self.mesh, out)
             return {k: v[:orig] for k, v in out.items()}
         images = jnp.asarray(images)
         return self._jitted_closed(images, jnp.float32(threshold))

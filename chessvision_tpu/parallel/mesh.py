@@ -125,6 +125,28 @@ def make_global_batch(mesh: Mesh | None, arr: Any) -> Any:
     return jax.make_array_from_process_local_data(sharding, arr[start:stop])
 
 
+_gather_programs: dict[Mesh, Any] = {}
+
+
+def host_gather(mesh: Mesh | None, tree: Any) -> Any:
+    """Materialize (possibly cross-process sharded) outputs on EVERY host.
+
+    Multi-process meshes: outputs of a sharded program are global arrays
+    whose shards live on other hosts — eager numpy conversion (and even
+    eager slicing) is illegal on them.  One jitted identity with replicated
+    out_shardings all-gathers them over ICI/DCN, after which every process
+    holds the full value.  Single-process (or no mesh): plain np.asarray.
+    The inference analogue of the trainers' replicated-metrics reads
+    (reference has no multi-process layer to mirror, SURVEY §2.5)."""
+    if mesh is None or not spans_processes(mesh):
+        return jax.tree.map(np.asarray, tree)
+    fn = _gather_programs.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda t: t, out_shardings=replicate(mesh))
+        _gather_programs[mesh] = fn
+    return jax.tree.map(np.asarray, fn(tree))
+
+
 def data_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
     """NamedSharding that shards ``batch_axis`` over the data axis."""
     spec = [None] * ndim

@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mode", choices=["step", "trainer"], default="step")
+    ap.add_argument("--mode", choices=["step", "trainer", "engine"], default="step")
     args = ap.parse_args()
 
     # per-process virtual CPU device count (replace any inherited setting)
@@ -66,6 +66,8 @@ def main() -> int:
 
     if args.mode == "trainer":
         return run_trainer_mode(args)
+    if args.mode == "engine":
+        return run_engine_mode(args)
 
     from chessvision_tpu import models
     from chessvision_tpu.train.steps import (
@@ -123,6 +125,91 @@ def main() -> int:
         json.dump(record, f)
     jax.distributed.shutdown()
     return 0
+
+
+def build_parity_engine(mesh):
+    """The Engine configuration shared by the 2-process workers and the
+    single-process reference: a fixed-quadrangle stub extractor (so
+    found=True and the warp geometry is deterministic) plus a REAL
+    seeded random-init ResNet18 classifier (so probabilities — and the
+    FENs built from them — depend on actual warped pixel content, which
+    is what crosses the process boundary)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chessvision_tpu import models
+    from chessvision_tpu.engine import Engine
+
+    class FixedQuadExtractor:
+        """+8 logits inside a fixed quadrangle, -8 outside (input-independent)."""
+
+        def __init__(self) -> None:
+            import cv2
+
+            quad = np.array([[32, 28], [224, 30], [226, 228], [30, 226]], np.int32)
+            mask = np.zeros((256, 256), np.uint8)
+            cv2.fillConvexPoly(mask, quad, 255)
+            self._logits = jnp.asarray(np.where(mask > 0, 8.0, -8.0), jnp.float32)
+
+        def apply(self, variables, x, **kw):
+            b = x.shape[0]
+            return jnp.broadcast_to(self._logits[None, :, :, None], (b, 256, 256, 1))
+
+    classifier, _ = models.create_classifier("resnet18", dtype=jnp.float32)
+    cl_vars = classifier.init(
+        jax.random.PRNGKey(11), jnp.zeros((1, 64, 64, 1), jnp.float32)
+    )
+    return Engine(FixedQuadExtractor(), {}, classifier, cl_vars, mesh=mesh)
+
+
+def parity_engine_batch():
+    """Deterministic 6-image uint8 batch (6 ∤ 8 exercises mesh padding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, (6, 256, 256, 3), np.uint8)
+
+
+def run_engine_mode(args) -> int:
+    """Run the INFERENCE Engine over the 2-process mesh — process_batch
+    with the input fed through make_global_batch (each process loads only
+    its row slice) and outputs all-gathered back to every host — writing
+    FENs/found/probability checksums for the parent's parity assertion
+    against a single-process run.  (Reference analogue: pod-scale batch
+    enrichment, process_pipeline.py:249.)"""
+    import jax
+    import numpy as np
+
+    from chessvision_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    engine = build_parity_engine(mesh)
+    batch = parity_engine_batch()
+    result = engine.process_batch(batch, threshold=0.5)
+
+    record = {
+        "process_id": args.process_id,
+        "process_count": int(jax.process_count()),
+        "n_devices": int(len(jax.devices())),
+        "found": [bool(f) for f in result.board_found],
+        "fens": list(result.fens),
+        "prob_sum": float(np.float64(result.probabilities.sum())),
+        "prob_sha": _array_sha(result.probabilities),
+        "quad_sha": _array_sha(result.quadrangle),
+    }
+    with open(f"{args.out}.{args.process_id}.json", "w") as f:
+        json.dump(record, f)
+    jax.distributed.shutdown()
+    return 0
+
+
+def _array_sha(a) -> str:
+    import hashlib
+
+    import numpy as np
+
+    return hashlib.sha256(np.ascontiguousarray(a).tobytes()).hexdigest()
 
 
 def synthetic_seg_data():
