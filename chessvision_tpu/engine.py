@@ -583,6 +583,23 @@ class Engine:
             return self._jitted_lite_packed(comp, gray, thr)
 
         self._jitted_lite = lite
+        # serve program: lite + the extracted board (for serving modes that
+        # persist uploads, reference cv_endpoint.py:174-187) — still skips
+        # the logits buffer, the largest D2H transfer (f32 256² = 256
+        # KB/board vs the uint8 board's 256 KB; mask is host-recomputable)
+        self._jitted_serve_packed = jax.jit(
+            lambda c, g, t: {
+                k: v
+                for k, v in lite_fn(ex_vars, cl_vars, c, g, t).items()
+                if k in ("found", "quadrangle", "probabilities", "board_image")
+            }
+        )
+
+        def serve_prog(images: Any, thr: Any) -> dict[str, jnp.ndarray]:
+            comp, gray = self._jitted_pre(images)
+            return self._jitted_serve_packed(comp, gray, thr)
+
+        self._jitted_serve = serve_prog
 
     def run_packed(self, comp: Any, gray: Any, threshold: float = 0.5) -> dict[str, jnp.ndarray]:
         """Run the IO-optimized packed-input pipeline (see
@@ -708,20 +725,26 @@ class Engine:
         threshold: float = 0.5,
         flip: bool = False,
         lite: bool = False,
+        include_board: bool = False,
     ) -> BatchResult:
         """Full image→FEN over a uniform-shape batch (B, H, W, 3) uint8.
 
         ``lite=True`` skips the board/mask/logits outputs (FEN +
         probabilities + quadrangle only) — roughly 3× lower single-image
         latency for serving, where those buffers' D2H transfers dominate.
+        ``include_board=True`` with ``lite`` adds back just the extracted
+        board (what persisting serving modes need, reference
+        cv_endpoint.py:174-187) while still skipping the logits buffer.
         """
         if lite and self.mesh is None:
-            out = self._jitted_lite(jnp.asarray(images), jnp.float32(threshold))
+            program = self._jitted_serve if include_board else self._jitted_lite
+            out = program(jnp.asarray(images), jnp.float32(threshold))
             out = jax.tree.map(np.asarray, out)
             b = images.shape[0]
             out["logits"] = np.zeros((b, 0, 0), np.float32)
             out["binary_mask"] = np.zeros((b, 0, 0), np.uint8)
-            out["board_image"] = np.zeros((b, 0, 0), np.uint8)
+            if not include_board:
+                out["board_image"] = np.zeros((b, 0, 0), np.uint8)
         else:
             out = self.run_device(images, threshold)
             out = jax.tree.map(np.asarray, out)

@@ -17,8 +17,11 @@ contracts —
   GET  /ping            liveness probe
 
 Uploads are persisted under user_uploads/{raw,boards} when not in LOCAL
-mode (cv_endpoint.py:174-187).  The model is eager-loaded at startup like
-the reference (cv_endpoint.py:131-133).
+mode (cv_endpoint.py:174-187) — asynchronously, off a bounded queue, so
+production requests ride the same micro-batched engine path as local mode
+(the engine's serve program returns the extracted board without the
+logits buffer).  The model is eager-loaded at startup like the reference
+(cv_endpoint.py:131-133).
 
 Run: python -m chessvision_tpu.serve.server --port 7777 [--local]
 """
@@ -94,11 +97,20 @@ class _MicroBatcher:
     analogue — every request pays a full per-image pipeline
     (cv_endpoint.py:136-192)."""
 
-    def __init__(self, engine: Any, max_batch: int = 16, timeout_s: float = 900.0) -> None:
+    def __init__(
+        self,
+        engine: Any,
+        max_batch: int = 16,
+        timeout_s: float = 900.0,
+        include_board: bool = False,
+    ) -> None:
         import queue
 
         self.engine = engine
         self.max_batch = max_batch
+        # production (persisting) mode also needs the extracted board — the
+        # engine's serve program returns it without the logits buffer
+        self.include_board = include_board
         # generous: a COLD batch shape pays a full remote XLA compile,
         # which is minutes on this backend (CLAUDE.md) — the timeout only
         # needs to catch a dead worker, so it sits above worst-case
@@ -111,7 +123,9 @@ class _MicroBatcher:
         t = threading.Thread(target=self._loop, daemon=True, name="cv-microbatch")
         t.start()
 
-    def submit(self, img: np.ndarray, flip: bool) -> tuple[bool, str, np.ndarray]:
+    def submit(
+        self, img: np.ndarray, flip: bool
+    ) -> tuple[bool, str, np.ndarray, np.ndarray | None]:
         ev = threading.Event()
         slot: dict[str, Any] = {}
         try:
@@ -128,7 +142,7 @@ class _MicroBatcher:
             )
         if "error" in slot:
             raise RuntimeError(slot["error"])
-        return slot["found"], slot["fen"], slot["conf"]
+        return slot["found"], slot["fen"], slot["conf"], slot.get("board")
 
     def _loop(self) -> None:
         while True:
@@ -148,11 +162,14 @@ class _MicroBatcher:
                     padded = 1 << (n - 1).bit_length()
                     if padded > n:
                         imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padded - n, axis=0)])
-                    batch = self.engine.process_batch(imgs, flip=flip, lite=True)
+                    kw = {"include_board": True} if self.include_board else {}
+                    batch = self.engine.process_batch(imgs, flip=flip, lite=True, **kw)
                     for i, (_, _, ev, slot) in enumerate(group):
                         slot["found"] = bool(batch.board_found[i])
                         slot["fen"] = batch.fens[i]
                         slot["conf"] = np.max(batch.probabilities[i], axis=1)
+                        if self.include_board and slot["found"]:
+                            slot["board"] = np.asarray(batch.board_image[i])
                         ev.set()
                 except Exception as e:  # noqa: BLE001
                     logger.exception("micro-batch failed")
@@ -173,11 +190,28 @@ class ChessVisionService:
             logger.info("Eager-loading ChessVision models...")
             cv_model = ChessVision(lazy_load=False)
         self.cv = cv_model
+        # The micro-batcher serves BOTH modes (round-3 review: production
+        # mode used to bypass it and serialize per-image calls at ~5 req/s
+        # vs 22+ batched).  In production (local=False) the engine's serve
+        # program also returns the extracted board, and persistence happens
+        # on a background thread so responses never wait on disk I/O.
         self.batcher = (
-            _MicroBatcher(cv_model.engine) if local and hasattr(cv_model, "engine") else None
+            _MicroBatcher(cv_model.engine, include_board=not local)
+            if hasattr(cv_model, "engine")
+            else None
         )
         self.upload_root = Path(upload_root or "user_uploads")
         init_uploads_folder(self.upload_root)
+        self._persist_q: Any = None
+        if not local:
+            import queue
+
+            # bounded + best-effort: under overload, dropping an upload
+            # beats blocking responses (the response already shipped)
+            self._persist_q = queue.Queue(maxsize=256)
+            threading.Thread(
+                target=self._persist_loop, daemon=True, name="cv-persist"
+            ).start()
 
     def warmup(self, image_hw: tuple[int, int] = (512, 512)) -> None:
         """Pre-compile the lite engine program at every micro-batch shape
@@ -187,10 +221,11 @@ class ChessVisionService:
         if self.batcher is None:
             return
         b = 1
+        kw = {"include_board": True} if self.batcher.include_board else {}
         while b <= self.batcher.max_batch:
             zeros = np.zeros((b, *image_hw, 3), np.uint8)
-            self.cv.engine.process_batch(zeros, lite=True)
-            logger.info("warmup: lite batch %d compiled", b)
+            self.cv.engine.process_batch(zeros, lite=True, **kw)
+            logger.info("warmup: serving batch %d compiled", b)
             b *= 2
 
     # -- request handlers ------------------------------------------------------
@@ -230,12 +265,14 @@ class ChessVisionService:
         raw_id = str(uuid.uuid4())
         t0 = time.time()
         if self.batcher is not None:
-            # latency path: lite engine outputs (no board/mask transfers —
-            # nothing persisted in LOCAL mode), with concurrent requests
-            # coalesced into one device batch by the micro-batcher
-            found, fen, confidences = self.batcher.submit(img, bool(flip))
+            # latency path: lite engine outputs (plus the extracted board
+            # in persisting mode), with concurrent requests coalesced into
+            # one device batch by the micro-batcher
+            found, fen, confidences, board = self.batcher.submit(img, bool(flip))
             if not found:
                 return 400, {"success": False, "error": "No chessboard detected"}
+            if not self.local:
+                self._persist_async(raw_id, img, board)
             elapsed = time.time() - t0
         else:
             with self.lock:
@@ -257,6 +294,24 @@ class ChessVisionService:
             "confidence_scores": [float(c) for c in confidences],
             "processing_time": elapsed,
         }
+
+    def _persist_async(self, raw_id: str, img: np.ndarray, board: np.ndarray | None) -> None:
+        try:
+            self._persist_q.put_nowait((raw_id, img, board))
+        except Exception:  # noqa: BLE001 — queue full: drop, never block
+            logger.warning("persist queue full — dropping upload %s", raw_id)
+
+    def _persist_loop(self) -> None:
+        while True:
+            raw_id, img, board = self._persist_q.get()
+            try:
+                import cv2
+
+                cv2.imwrite(str(self.upload_root / "raw" / f"{raw_id}.JPG"), img)
+                if board is not None:
+                    cv2.imwrite(str(self.upload_root / "boards" / f"{raw_id}.JPG"), board)
+            except Exception:  # noqa: BLE001
+                logger.exception("Failed to persist upload %s", raw_id)
 
     def _persist(self, raw_id: str, img: np.ndarray, result: Any) -> None:
         try:

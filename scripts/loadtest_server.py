@@ -27,6 +27,12 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--requests", type=int, default=96)
     parser.add_argument("--concurrency", type=int, default=16)
+    parser.add_argument(
+        "--prod",
+        action="store_true",
+        help="production mode: local=False — uploads persisted (async) and the "
+        "serve program also ships the extracted board",
+    )
     args = parser.parse_args()
 
     from chessvision_tpu import constants
@@ -37,7 +43,9 @@ def main() -> None:
         {"image": base64.b64encode(img_path.read_bytes()).decode(), "flip": False}
     ).encode()
 
-    server = serve(port=0, local=True, upload_root="/tmp/loadtest_uploads", warmup=True)
+    server = serve(
+        port=0, local=not args.prod, upload_root="/tmp/loadtest_uploads", warmup=True
+    )
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
@@ -72,6 +80,7 @@ def main() -> None:
 
     lat = np.asarray(sorted(latencies))
     out = {
+        "mode": "prod" if args.prod else "local",
         "requests": args.requests,
         "concurrency": args.concurrency,
         "req_per_sec": round(args.requests / wall, 2),

@@ -150,7 +150,7 @@ class StubEngine:
     def __init__(self):
         self.calls: list[int] = []
 
-    def process_batch(self, imgs, threshold=0.5, flip=False, lite=False):
+    def process_batch(self, imgs, threshold=0.5, flip=False, lite=False, include_board=False):
         import time
 
         from chessvision_tpu.cv_types import BatchResult
@@ -160,12 +160,13 @@ class StubEngine:
         b = len(imgs)
         probs = np.zeros((b, 64, 13), np.float32)
         probs[:, :, constants.LABEL_INDICES["f"]] = 1.0
+        board_hw = (512, 512) if include_board else (0, 0)
         return BatchResult(
             logits=np.zeros((b, 0, 0), np.float32),
             binary_mask=np.zeros((b, 0, 0), np.uint8),
             quadrangle=np.zeros((b, 4, 2), np.float32),
             board_found=np.ones(b, bool),
-            board_image=np.zeros((b, 0, 0), np.uint8),
+            board_image=np.full((b, *board_hw), 7, np.uint8),
             probabilities=probs,
             fens=["8/8/8/8/8/8/8/8"] * b,
             original_fens=["8/8/8/8/8/8/8/8"] * b,
@@ -219,5 +220,69 @@ def test_microbatcher_coalesces_concurrent_requests(tmp_path):
         assert max(calls) > 1, f"never batched: {calls}"
         # padding keeps compiled batch shapes to powers of two
         assert all(c & (c - 1) == 0 for c in calls), calls
+    finally:
+        server.shutdown()
+
+
+def test_production_mode_batches_and_persists(tmp_path):
+    """local=False must ride the SAME micro-batched engine path (round-3
+    review: production used to fall back to serialized per-image calls)
+    AND persist raw+board uploads asynchronously (reference contract:
+    cv_endpoint.py:174-187)."""
+    import time
+
+    import cv2
+
+    class EngineCV:
+        pass
+
+    cv_model = EngineCV()
+    cv_model.engine = StubEngine()
+    server = serve(port=0, local=False, cv_model=cv_model, upload_root=str(tmp_path))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.zeros((64, 64, 3), np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        payload = json.dumps(
+            {"image": base64.b64encode(enc.tobytes()).decode(), "flip": False}
+        ).encode()
+
+        results = []
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/cv_algo/",
+                data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            results.append(json.loads(urllib.request.urlopen(req, timeout=30).read()))
+
+        n = 8
+        threads = [threading.Thread(target=post) for _ in range(n)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
+        assert len(results) == n and all(r["success"] for r in results)
+        calls = cv_model.engine.calls
+        assert len(calls) < n, f"prod mode didn't micro-batch: {calls}"
+        assert max(calls) > 1, f"prod mode never batched: {calls}"
+
+        # async persistence: raw + extracted board land under the uploads tree
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            raws = list((tmp_path / "raw").glob("*.JPG"))
+            boards = list((tmp_path / "boards").glob("*.JPG"))
+            if len(raws) == n and len(boards) == n:
+                break
+            time.sleep(0.05)
+        assert len(raws) == n, f"raw uploads not persisted: {len(raws)}/{n}"
+        assert len(boards) == n, f"boards not persisted: {len(boards)}/{n}"
+        board = cv2.imread(str(boards[0]), cv2.IMREAD_GRAYSCALE)
+        assert board is not None and board.shape == (512, 512) and board[0, 0] == 7
     finally:
         server.shutdown()
