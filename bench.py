@@ -15,9 +15,12 @@ so every path sees the same average link health, and a bandwidth probe is
 taken before and after the e2e block to quantify the drift.  All program
 compilation is warmed with device-created zeros (no host→device traffic).
 
-E2e candidates, every iteration a full host-image→FEN pass (host pack,
-host→device upload, device pipeline, probabilities D2H, host validation +
-FEN strings):
+E2e candidates, each measured as a PIPELINED STREAM (Engine.run_stream,
+round 4): host-pack of batch i+1 and its async upload overlap batch i's
+device compute, so steady-state throughput is max(pack, upload, compute)
+instead of their serialized sum — every stream element is still a full
+host-image→FEN pass (host pack, upload, device pipeline, probabilities
+D2H, host validation + FEN strings):
   packed  — exact INTER_AREA + fixed-point gray on host; 448 KB/board;
             BIT-IDENTICAL FENs to raw frames.
   yuv444  — full-res luma + full-res chroma diffs + 4-bit G residuals;
@@ -26,8 +29,9 @@ FEN strings):
   yuv420  — subsampled chroma diffs; 288 KB/board; APPROXIMATE (chroma
             blur; 33/38 agreement measured) — reported, never headline.
   raw     — 768 KB/board uint8 frames, all preprocessing on device.
-Measurements are synchronous (bounded queue): interleaved async uploads
-degrade this relay 3×+; on directly-attached hosts use Engine.run_stream.
+Double-buffering keeps exactly ONE upload in flight (unbounded interleaved
+uploads degrade this relay 3×+, measured round 2); a serialized yuv444
+probe is recorded alongside so the overlap gain is visible in the JSON.
 """
 
 from __future__ import annotations
@@ -147,32 +151,19 @@ def main() -> None:
     p50_ms = float(np.median(lat_full) * 1000)
     p50_lite_ms = float(np.median(lat_lite) * 1000)
 
-    # ---- e2e paths, ROUND-ROBIN: one iteration of each per cycle so the
-    # relay's within-process degradation hits every path equally and the
-    # recorded ranking tracks bytes, not measurement order. ----
+    # ---- e2e paths, ROUND-ROBIN over pipelined streams: one stream of
+    # each path per cycle so the relay's within-process degradation hits
+    # every path equally and the recorded ranking tracks bytes, not
+    # measurement order.  Each stream element is one full image→FEN batch;
+    # Engine.run_stream overlaps host pack + upload of batch i+1 with
+    # batch i's device compute (exactly one upload in flight). ----
     fens: list = []
 
-    def _packed_once() -> None:
-        nonlocal fens
-        comp, gray = pack_inputs(batch)
-        fens = _assemble_fens(engine.run_packed(comp, gray), square_names)
-
-    def _yuv444_once() -> None:
-        y, cb, cr, gres = pack_inputs_yuv444(batch)
-        _assemble_fens(engine.run_yuv444(y, cb, cr, gres), square_names)
-
-    def _yuv420_once() -> None:
-        y, cb, cr = pack_inputs_yuv(batch)
-        _assemble_fens(engine.run_yuv(y, cb, cr), square_names)
-
-    def _raw_once() -> None:
-        _assemble_fens(engine.run_device(batch), square_names)
-
     paths = {
-        "packed": _packed_once,
-        "yuv444": _yuv444_once,
-        "yuv420": _yuv420_once,
-        "raw_frame": _raw_once,
+        "packed": ("packed", lambda: pack_inputs(batch)),
+        "yuv444": ("yuv444", lambda: pack_inputs_yuv444(batch)),
+        "yuv420": ("yuv", lambda: pack_inputs_yuv(batch)),
+        "raw_frame": ("raw", lambda: batch),
     }
     kb_per_board = {
         "packed": sum(a.nbytes for a in pack_inputs(batch[:1])) / 1024,
@@ -181,15 +172,32 @@ def main() -> None:
         "raw_frame": batch[:1].nbytes / 1024,
     }
 
+    def _stream_once(kind: str, pack: "callable", n_batches: int) -> float:
+        """One pipelined stream of n_batches full image→FEN passes; returns
+        elapsed seconds (FEN assembly forces the D2H sync per element)."""
+        nonlocal fens
+        gen = (pack() for _ in range(n_batches))
+        t0 = time.perf_counter()
+        for out in engine.run_stream(gen, kind=kind):
+            fens = _assemble_fens(out, square_names)
+        return time.perf_counter() - t0
+
+    cycles = 2 if args.iters >= 2 else 1
+    stream_len = max(1, args.iters // cycles)
     link_before = _link_probe()
-    times: dict[str, list[float]] = {k: [] for k in paths}
-    for _ in range(args.iters):
-        for name, run_once in paths.items():
-            t0 = time.perf_counter()
-            run_once()
-            times[name].append(time.perf_counter() - t0)
+    rates: dict[str, list[float]] = {k: [] for k in paths}
+    for _ in range(cycles):
+        for name, (kind, pack) in paths.items():
+            elapsed = _stream_once(kind, pack, stream_len)
+            rates[name].append(stream_len * bsz / elapsed)
+    # serialized yuv444 probe (pack → upload → compute in sequence) so the
+    # stream-overlap gain is visible in the record
+    t0 = time.perf_counter()
+    y, cb, cr, gres = pack_inputs_yuv444(batch)
+    _assemble_fens(engine.run_yuv444(y, cb, cr, gres), square_names)
+    serialized_yuv444 = bsz / (time.perf_counter() - t0)
     link_after = _link_probe()
-    boards_per_sec = {k: bsz / float(np.median(v)) for k, v in times.items()}
+    boards_per_sec = {k: float(np.median(v)) for k, v in rates.items()}
     n_found = sum(1 for f in fens if f)
 
     # ---- compute-only (device-resident input) ----
@@ -218,6 +226,9 @@ def main() -> None:
         "vs_baseline": round(best_e2e / BASELINE_BOARDS_PER_SEC, 3),
         "paths_boards_per_sec": {k: round(v, 2) for k, v in boards_per_sec.items()},
         "paths_kb_per_board": {k: round(v, 1) for k, v in kb_per_board.items()},
+        "e2e_mode": "streamed",
+        "stream_batches_per_cycle": stream_len,
+        "serialized_yuv444_boards_per_sec": round(serialized_yuv444, 2),
         "compute_boards_per_sec": round(compute_boards_per_sec, 2),
         "compute_batch_size": cbsz,
         "link_mb_per_sec_before_e2e": round(link_before, 1),

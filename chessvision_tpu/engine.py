@@ -706,14 +706,18 @@ class Engine:
             current = put(next(it))
         except StopIteration:
             return
-        pending = None
         while True:
-            nxt = next(it, None)
-            if nxt is not None:
-                pending = put(nxt)  # async H2D overlaps compute
+            # dispatch FIRST (jit dispatch is async — the device starts on
+            # batch i immediately), THEN draw the next element: when
+            # ``batches`` is a generator that packs on demand, the host
+            # pack of batch i+1 and its async H2D both overlap batch i's
+            # compute, so steady-state throughput is max(pack, upload,
+            # compute) instead of their sum
             out = call(current, threshold)
+            nxt = next(it, None)
+            pending = put(nxt) if nxt is not None else None
             yield out
-            if nxt is None:
+            if pending is None:
                 return
             current = pending
 
