@@ -81,7 +81,7 @@ def bench_unet(quick: bool) -> dict:
     }
 
 
-def bench_classifier(quick: bool) -> dict:
+def bench_classifier(quick: bool, batch: int | None = None, augment: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +89,7 @@ def bench_classifier(quick: bool) -> dict:
     from chessvision_tpu.train.steps import TrainState, make_cls_train_step, make_optimizer
     from chessvision_tpu.train.augment import augment_classification_batch
 
-    batch = 16 if quick else 256
+    batch = batch or (16 if quick else 256)
     cls, _ = models.create_classifier("resnet18")
     variables = cls.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1), jnp.float32))
     state = TrainState.create(
@@ -102,13 +102,16 @@ def bench_classifier(quick: bool) -> dict:
     labels = jnp.arange(batch) % 13
 
     # the production loop augments every batch on device — include it
-    imgs_aug = augment_classification_batch(key, imgs)
+    # (disable with augment=False to attribute step time)
+    imgs_aug = augment_classification_batch(key, imgs) if augment else imgs
     state, m = step(state, imgs_aug, labels)  # compile
     float(m["loss"])
     iters = 3 if quick else 20
     t0 = time.perf_counter()
     for i in range(iters):
-        imgs_aug = augment_classification_batch(jax.random.fold_in(key, i), imgs)
+        imgs_aug = (
+            augment_classification_batch(jax.random.fold_in(key, i), imgs) if augment else imgs
+        )
         state, m = step(state, imgs_aug, labels)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
@@ -130,12 +133,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny config for CPU smoke runs")
     ap.add_argument("--trainer", choices=["unet", "classifier", "both"], default="both")
+    ap.add_argument("--cls-batch", type=int, default=None, help="override classifier batch size")
+    ap.add_argument(
+        "--no-augment", action="store_true", help="skip on-device augmentation (attribution)"
+    )
     args = ap.parse_args()
 
     if args.trainer in ("unet", "both"):
         print(json.dumps(bench_unet(args.quick)), flush=True)
     if args.trainer in ("classifier", "both"):
-        print(json.dumps(bench_classifier(args.quick)), flush=True)
+        print(
+            json.dumps(
+                bench_classifier(args.quick, batch=args.cls_batch, augment=not args.no_augment)
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
