@@ -107,6 +107,35 @@ class ClassificationData:
     class_names: list[str]
 
 
+def load_image_mask_dir(root: str | Path) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Load an images/ + masks/ pair directory in the board_extraction
+    layout (256² BGR images, binary masks) — extra curated or synthetic
+    training batches (e.g. scripts/make_screen_boards.py) appended to the
+    TRAIN side only via train_unet's ``--extra-data``."""
+    root = Path(root)
+    image_dir, mask_dir = root / "images", root / "masks"
+    if not image_dir.is_dir() or not mask_dir.is_dir():
+        raise ValueError(f"{root} is not an images/+masks/ pair directory")
+    ids, images, masks = [], [], []
+    for img_path in _image_files(image_dir):
+        mask_path = mask_dir / (img_path.stem + ".png")
+        img = _imread(img_path)
+        mask = _imread(mask_path, gray=True)
+        if img is None or mask is None:
+            continue
+        if img.shape[:2] != (256, 256):
+            import cv2
+
+            img = cv2.resize(img, (256, 256), interpolation=cv2.INTER_AREA)
+            mask = cv2.resize(mask, (256, 256), interpolation=cv2.INTER_NEAREST)
+        ids.append(img_path.stem)
+        images.append(img)
+        masks.append((mask > 127).astype(np.float32))
+    if not ids:
+        raise ValueError(f"no image/mask pairs under {root}")
+    return np.stack(images), np.stack(masks), ids
+
+
 def load_squares(data_root: str | Path | None = None) -> ClassificationData:
     root = Path(data_root or constants.DATA_ROOT) / "squares"
 

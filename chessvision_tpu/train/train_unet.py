@@ -55,6 +55,8 @@ def train_model(
     optimizer: str = "rmsprop",
     resume: str | None = None,
     ema_decay: float = 0.0,
+    extra_data: list[str] | None = None,
+    extra_weight: float = 1.0,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -92,12 +94,25 @@ def train_model(
             "threshold": threshold,
             "seed": seed,
             "bilinear": bilinear,
+            "extra_data": list(extra_data or []),
+            "extra_weight": extra_weight,
         },
         description=run_description,
     )
     checkpoint_path = str(run.bulk_data_url / "checkpoint.npz")
 
     data = data_lib.load_board_extraction()
+    # curated/synthetic extra batches join the TRAIN side only — val stays
+    # the real 10% split so scores remain comparable across runs (the 3LC
+    # merge-new-batch-into-training move, reference merge_new_train.py)
+    n_extra = 0
+    for extra_dir in extra_data or []:
+        imgs_e, masks_e, ids_e = data_lib.load_image_mask_dir(extra_dir)
+        data.train_images = np.concatenate([data.train_images, imgs_e])
+        data.train_masks = np.concatenate([data.train_masks, masks_e])
+        data.train_ids = data.train_ids + ids_e
+        n_extra += len(ids_e)
+        logger.info("Appended %d extra training examples from %s", len(ids_e), extra_dir)
     n_train, n_val = len(data.train_images), len(data.val_images)
     logger.info("Training on %d / validating on %d images", n_train, n_val)
 
@@ -248,6 +263,12 @@ def train_model(
             weights = None
         if weights is None:
             weights = data.train_masks.mean(axis=(1, 2)) + 0.05
+    if n_extra and extra_weight != 1.0:
+        # relative sampling weight of the appended batches vs the originals
+        if weights is None:
+            weights = np.ones(n_train, np.float64)
+        weights = np.asarray(weights, np.float64)
+        weights[-n_extra:] *= extra_weight
 
     # EMA of params — validated/checkpointed alongside the raw params
     # when enabled (same semantics as the classifier trainer's
@@ -398,6 +419,15 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--model-id", type=str, default="unet", help="unet or yolo")
     parser.add_argument("--optimizer", type=str, default="rmsprop", choices=["rmsprop", "adam"])
     parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
+    parser.add_argument(
+        "--extra-data", action="append", default=None,
+        help="images/+masks/ dir appended to the TRAIN split (repeatable); "
+        "e.g. a synthetic batch from scripts/make_screen_boards.py",
+    )
+    parser.add_argument(
+        "--extra-weight", type=float, default=1.0,
+        help="relative sampling weight of --extra-data examples",
+    )
     parser.add_argument("--promote", action="store_true", help="copy best checkpoint to weights/")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="multi-host: jax.distributed coordinator host:port")
@@ -432,6 +462,8 @@ def main() -> None:
         optimizer=args.optimizer,
         resume=args.resume,
         ema_decay=args.ema_decay,
+        extra_data=args.extra_data,
+        extra_weight=args.extra_weight,
     )
     import jax
 

@@ -116,3 +116,31 @@ def test_yolo_seg_export(tmp_path) -> None:
     # hull fallback agrees with the cv2 contour on extents
     hull_poly = mask_to_polygon(masks[0] * 255)
     assert hull_poly is not None and len(hull_poly) >= 4
+
+
+def test_load_image_mask_dir(tmp_path) -> None:
+    """--extra-data dirs (e.g. scripts/make_screen_boards.py output) load in
+    the board_extraction layout, resizing off-size pairs to 256²."""
+    import cv2
+
+    from chessvision_tpu.train import data as data_lib
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    rng = np.random.default_rng(0)
+    for i, side in enumerate([256, 128]):  # one native, one needing resize
+        img = rng.integers(0, 255, (side, side, 3), np.uint8)
+        mask = np.zeros((side, side), np.uint8)
+        mask[side // 4 : 3 * side // 4, side // 4 : 3 * side // 4] = 255
+        cv2.imwrite(str(tmp_path / "images" / f"b{i}.png"), img)
+        cv2.imwrite(str(tmp_path / "masks" / f"b{i}.png"), mask)
+
+    images, masks, ids = data_lib.load_image_mask_dir(tmp_path)
+    assert images.shape == (2, 256, 256, 3) and images.dtype == np.uint8
+    assert masks.shape == (2, 256, 256) and masks.dtype == np.float32
+    assert set(np.unique(masks)) <= {0.0, 1.0}
+    assert 0.2 < masks[1].mean() < 0.3  # resized mask keeps its area
+    assert ids == ["b0", "b1"]
+
+    with pytest.raises(ValueError):
+        data_lib.load_image_mask_dir(tmp_path / "images")  # no pairs
