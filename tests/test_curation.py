@@ -86,3 +86,26 @@ def test_ingest_edited_masks(tmp_path) -> None:
     assert out.lineage["edited_masks"] == 1
     assert np.asarray(out["mask"])[1].sum() > 0
     assert np.asarray(out["mask"])[0].sum() == 0
+
+
+def test_make_screen_boards_compose() -> None:
+    """Synthetic screen-board generator: deterministic, correct layout,
+    mask is a filled quad that actually covers the rendered board."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "make_screen_boards",
+        Path(__file__).resolve().parent.parent / "scripts" / "make_screen_boards.py",
+    )
+    msb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(msb)
+
+    img, mask = msb.compose(np.random.default_rng(3))
+    img2, mask2 = msb.compose(np.random.default_rng(3))
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    assert mask.shape == (256, 256) and set(np.unique(mask)) <= {0, 255}
+    assert np.array_equal(img, img2) and np.array_equal(mask, mask2)
+    # board occupies a plausible fraction of the frame (scale 0.35-0.95)
+    frac = (mask > 0).mean()
+    assert 0.05 < frac < 0.95
