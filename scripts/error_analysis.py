@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--out", default=str(REPO / "scripts" / "out" / "error_analysis.json"))
+    ap.add_argument("--board-extractor-weights", default=None,
+                    help="checkpoint override — analyze a candidate instead of the promoted weights")
+    ap.add_argument("--classifier-weights", default=None)
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -52,7 +55,11 @@ def main() -> None:
     fen_square_names = [f"{'abcdefgh'[i % 8]}{8 - i // 8}" for i in range(64)]
     dark = set(constants.DARK_SQUARES)
 
-    cv = ChessVision(lazy_load=False)
+    cv = ChessVision(
+        board_extractor_weights=args.board_extractor_weights,
+        classifier_weights=args.classifier_weights,
+        lazy_load=False,
+    )
     items = list(get_test_generator())
 
     shape_groups: dict[tuple, list] = {}
