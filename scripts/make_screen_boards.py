@@ -224,6 +224,19 @@ def screen_degrade(
 
     out = img.astype(np.float32)
     if print_mode:
+        if rng.random() < 0.5:  # gutter shading ACROSS the scene, board
+            # included — the 006bab7f failure mode is the page curling
+            # into a dark gutter that dims the board's left files, which
+            # background-only shading can never teach
+            h, w = out.shape[:2]
+            g0 = rng.uniform(0.35, 0.75)
+            grad = np.linspace(g0, 1.0, w, dtype=np.float32)
+            if rng.random() < 0.5:
+                grad = grad[::-1]
+            if rng.random() < 0.5:
+                out *= grad[None, :, None]
+            else:
+                out *= grad[:, None, None]
         if rng.random() < 0.5:  # underexposed page photo
             out *= rng.uniform(0.3, 0.8)
         if rng.random() < 0.6:  # sensor noise in dim light
