@@ -2,7 +2,7 @@
 
 The committed goldens (tests/goldens/fen_goldens.json) are CPU-pinned —
 correct for CI, but bf16-MXU numerics legitimately differ from f32-CPU on
-marginal segmentation pixels (32/38 exact agreement recorded in round 3,
+marginal segmentation pixels (37/38 exact agreement recorded in round 4,
 all diffs 1–2 squares).  This gate mechanizes that band ON THE TPU
 BACKEND, so an XLA/bf16 regression on the real platform fails a check
 instead of waiting for a human to reread eval output (VERDICT r3 weak #3;
@@ -11,12 +11,12 @@ metric source parity: /root/reference/scripts/eval/evaluate.py:346-360).
 Asserts, over every golden image:
   - found flags identical to the goldens;
   - per-board square diff ≤ MAX_SQUARE_DIFF for extracted boards;
-  - ≥ MIN_EXACT (32) boards with the exact golden FEN.
+  - ≥ MIN_EXACT (35) boards with the exact golden FEN.
 
-Band calibration (2026-08-17, one v5e, promoted weights): 32/38 exact,
-five 1–2-square diffs, one 4-square diff (bac03730… — a marginal quad
-corner shifts under bf16 segmentation, moving a board edge).  The band is
-pinned to that measured state; any widening is a platform regression.
+Band calibration (2026-08-17, one v5e, round-4 curated weights): 37/38
+exact, worst board 2 squares off, all 38 found.  The band is pinned near
+that measured state (one square of headroom on the per-board diff); any
+widening is a platform regression.
 
 Exit codes: 0 pass, 1 drift, 42 no TPU backend (callers skip).
 Run: python scripts/tpu_drift_gate.py   (also wrapped as a slow test,
@@ -34,8 +34,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 GOLDENS = REPO / "tests" / "goldens" / "fen_goldens.json"
-MAX_SQUARE_DIFF = 4
-MIN_EXACT = 32
+MAX_SQUARE_DIFF = 3
+MIN_EXACT = 35
 
 
 def main() -> int:
