@@ -124,7 +124,15 @@ def _pipeline_core(
     squares = extract_squares_batch(boards)
     cls_in = squares.reshape(b * 64, *constants.PIECE_SIZE, 1) / 255.0
     cls_out = classifier.apply(classifier_vars, cls_in)
-    cls_probs = cls_out if classifier_outputs_probabilities else jax.nn.softmax(cls_out, axis=-1)
+    # softmax in f32 even when the model runs bf16: bf16 exp/normalise
+    # flattens confident predictions to ~0.95-0.97 (measured on a v5e),
+    # which corrupts the served confidence_scores; the cast costs 64x13xB
+    # elements, nothing
+    cls_probs = (
+        cls_out
+        if classifier_outputs_probabilities
+        else jax.nn.softmax(cls_out.astype(jnp.float32), axis=-1)
+    )
     return {
         "logits": seg_logits,
         "quadrangle": quad_scaled,

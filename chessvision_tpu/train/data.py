@@ -136,6 +136,38 @@ def load_image_mask_dir(root: str | Path) -> tuple[np.ndarray, np.ndarray, list[
     return np.stack(images), np.stack(masks), ids
 
 
+def load_squares_dir(
+    root: str | Path, class_names: list[str]
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Load one extra ImageFolder of 64² gray squares (13 class dirs in the
+    squares/ layout) mapped onto an EXISTING ``class_names`` order — extra
+    mined or curated batches (e.g. scripts/mine_warped_squares.py) appended
+    to the TRAIN side only via train_classifier's ``--extra-data``.
+    Unknown class dirs fail loudly rather than silently shifting labels."""
+    root = Path(root)
+    if not root.is_dir():
+        raise ValueError(f"{root} is not a directory")
+    index = {name: i for i, name in enumerate(class_names)}
+    images, labels, ids = [], [], []
+    for cd in sorted(d for d in root.iterdir() if d.is_dir()):
+        if cd.name not in index:
+            raise ValueError(f"{cd} is not one of the dataset's classes {class_names}")
+        for p in _image_files(cd):
+            img = _imread(p, gray=True)
+            if img is None:
+                continue
+            if img.shape != (64, 64):
+                import cv2
+
+                img = cv2.resize(img, (64, 64), interpolation=cv2.INTER_AREA)
+            images.append(img)
+            labels.append(index[cd.name])
+            ids.append(f"{cd.name}/{p.name}")
+    if not ids:
+        raise ValueError(f"no class-dir images under {root}")
+    return np.stack(images), np.asarray(labels, np.int32), ids
+
+
 def load_squares(data_root: str | Path | None = None) -> ClassificationData:
     root = Path(data_root or constants.DATA_ROOT) / "squares"
 

@@ -58,6 +58,8 @@ def train_model(
     ema_decay: float = 0.0,
     schedule_kind: str = "step",
     cutout: bool = False,
+    extra_data: list[str] | None = None,
+    extra_weight: float = 1.0,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -94,12 +96,25 @@ def train_model(
             "use_sample_weights": use_sample_weights,
             "augment": augment,
             "seed": seed,
+            "extra_data": list(extra_data or []),
+            "extra_weight": extra_weight,
         },
         description=run_description,
     )
     checkpoint_path = str(run.bulk_data_url / "checkpoint.npz")
 
     data = data_lib.load_squares()
+    # mined/curated extra batches join the TRAIN side only — val stays the
+    # real split so scores remain comparable across runs (same contract as
+    # train_unet --extra-data)
+    n_extra = 0
+    for extra_dir in extra_data or []:
+        imgs_e, labels_e, ids_e = data_lib.load_squares_dir(extra_dir, data.class_names)
+        data.train_images = np.concatenate([data.train_images, imgs_e])
+        data.train_labels = np.concatenate([data.train_labels, labels_e])
+        data.train_ids = data.train_ids + ids_e
+        n_extra += len(ids_e)
+        logger.info("Appended %d extra training squares from %s", len(ids_e), extra_dir)
     n_train, n_val = len(data.train_labels), len(data.val_labels)
     logger.info("Training on %d / validating on %d squares", n_train, n_val)
 
@@ -246,6 +261,12 @@ def train_model(
             # inverse class frequency fallback
             counts = np.bincount(data.train_labels, minlength=constants.NUM_CLASSES)
             weights = (1.0 / np.maximum(counts, 1))[data.train_labels]
+    if n_extra and extra_weight != 1.0:
+        # relative sampling weight of the appended batches vs the originals
+        if weights is None:
+            weights = np.ones(n_train, np.float64)
+        weights = np.asarray(weights, np.float64)
+        weights[-n_extra:] *= extra_weight
 
     # Exponential moving average of params — validated/checkpointed
     # alongside the raw params when enabled (classic trick the reference
@@ -392,6 +413,15 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--ema-decay", type=float, default=0.0, help="validate/checkpoint an EMA of params (0 = off, try 0.999)")
     parser.add_argument("--schedule", choices=("step", "cosine"), default="step", help="LR schedule: reference StepLR or warmup-cosine")
     parser.add_argument("--cutout", action="store_true", help="random-erasing augmentation (occlusion robustness)")
+    parser.add_argument(
+        "--extra-data", action="append", default=None,
+        help="extra ImageFolder of 64-px squares appended to the TRAIN split "
+        "(repeatable); e.g. scripts/mine_warped_squares.py output",
+    )
+    parser.add_argument(
+        "--extra-weight", type=float, default=1.0,
+        help="relative sampling weight of --extra-data examples",
+    )
     parser.add_argument("--promote", action="store_true")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="multi-host: jax.distributed coordinator host:port")
@@ -427,6 +457,8 @@ def main() -> None:
         ema_decay=args.ema_decay,
         schedule_kind=args.schedule,
         cutout=args.cutout,
+        extra_data=args.extra_data,
+        extra_weight=args.extra_weight,
     )
     import jax
 

@@ -144,3 +144,26 @@ def test_load_image_mask_dir(tmp_path) -> None:
 
     with pytest.raises(ValueError):
         data_lib.load_image_mask_dir(tmp_path / "images")  # no pairs
+
+
+def test_load_squares_dir(tmp_path) -> None:
+    """--extra-data squares dirs load in the ImageFolder layout mapped onto
+    an existing class order; unknown class dirs fail loudly."""
+    import cv2
+
+    from chessvision_tpu.train import data as data_lib
+
+    class_names = ["B", "_b", "f"]
+    rng = np.random.default_rng(0)
+    for d, n in [("f", 2), ("_b", 1)]:
+        (tmp_path / d).mkdir()
+        for i in range(n):
+            cv2.imwrite(str(tmp_path / d / f"s{i}.png"), rng.integers(0, 255, (64, 64), np.uint8))
+    images, labels, ids = data_lib.load_squares_dir(tmp_path, class_names)
+    assert images.shape == (3, 64, 64) and labels.tolist() == [1, 2, 2]
+    assert ids == ["_b/s0.png", "f/s0.png", "f/s1.png"]
+
+    (tmp_path / "zz").mkdir()
+    cv2.imwrite(str(tmp_path / "zz" / "s.png"), np.zeros((64, 64), np.uint8))
+    with pytest.raises(ValueError):
+        data_lib.load_squares_dir(tmp_path, class_names)
