@@ -248,3 +248,35 @@ def test_speck_noise_ignored() -> None:
         _corner_distance(pts[::-1].astype(np.float32), np.asarray(quad)),
     )
     assert d <= 4.0, (np.asarray(quad), d)
+
+
+def test_small_board_fallback() -> None:
+    """The documented improvement over the reference (ops/quad.py): a clean
+    filled board below 35% of frame with stray specks extracts, while the
+    same-size non-convex blob and a speck-dominated mask still do not."""
+    sq = np.zeros((256, 256), np.uint8)
+    sq[90:210, 80:200] = 255  # filled 120x120 board, 22% of frame
+    sq[10:14, 10:14] = 255  # speck -> 'multiple contours' in the reference
+    oracle = _reference_find_quadrangle(sq)
+    assert oracle is None  # the reference's area filter gives up here
+    quad, found = quad_ops.find_quadrangle(sq.astype(np.float32) / 255.0, 0.5)
+    assert bool(found)
+    ref_corners = np.array([[80, 90], [199, 90], [199, 209], [80, 209]], np.float32)
+    # unordered corner match (the fallback inherits whatever traversal
+    # convention order_like_reference picked; only geometry matters here)
+    d = np.linalg.norm(ref_corners[:, None] - np.asarray(quad)[None], axis=2)
+    assert d.min(axis=1).max() <= 3.0, np.asarray(quad)
+
+    # same area, C-shaped: convexity gate rejects
+    c = np.zeros((256, 256), np.uint8)
+    cv2.ellipse(c, (128, 128), (70, 70), 0, 30, 330, 255, 30)
+    c[10:14, 10:14] = 255
+    _, found_c = quad_ops.find_quadrangle(c.astype(np.float32) / 255.0, 0.5)
+    assert not bool(found_c)
+
+    # tiny blob under the 5% floor: still rejected
+    tiny = np.zeros((256, 256), np.uint8)
+    tiny[120:150, 120:150] = 255  # 1.4% of frame
+    tiny[10:14, 10:14] = 255
+    _, found_t = quad_ops.find_quadrangle(tiny.astype(np.float32) / 255.0, 0.5)
+    assert not bool(found_t)
