@@ -79,6 +79,7 @@ class ChessVision:
         dtype: Any = jnp.bfloat16,
         mesh: Any = None,
         model_kwargs: dict | None = None,
+        refine_grid: str | None = None,
     ) -> None:
         logger.info("Initializing ChessVision instance...")
         from chessvision_tpu.utils import enable_compilation_cache
@@ -96,6 +97,7 @@ class ChessVision:
         self._dtype = dtype
         self._mesh = mesh
         self._model_kwargs = model_kwargs or {}
+        self._refine_grid = refine_grid
         self._engine: Engine | None = None
         self._extract_jit_cache: dict[tuple, Any] = {}
         self._classify_jit: Any = None
@@ -182,6 +184,7 @@ class ChessVision:
                 cl_vars,
                 classifier_outputs_probabilities=cl_spec.outputs_probabilities,
                 mesh=self._mesh,
+                refine_grid=self._refine_grid,
             )
         return self._engine
 

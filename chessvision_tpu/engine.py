@@ -34,6 +34,7 @@ from chessvision_tpu.ops import (
     resize,
     warp_perspective,
 )
+from chessvision_tpu.ops import gridfix
 from chessvision_tpu.ops.quad import find_quadrangle_batch, scale_quadrangle
 from chessvision_tpu.parallel import mesh as mesh_lib
 
@@ -53,6 +54,7 @@ def process_images_fn(
     extractor: Any,
     classifier: Any,
     classifier_outputs_probabilities: bool,
+    refine: str = "arbitrate",
 ) -> Any:
     """Build the pure batched pipeline function for a (extractor,
     classifier) module pair.  The returned function is jit-compatible and
@@ -74,6 +76,7 @@ def process_images_fn(
             comp.astype(jnp.float32),
             gray.astype(jnp.float32),
             threshold,
+            refine,
         )
 
     return fn
@@ -97,6 +100,29 @@ def preprocess_images(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return comp, gray
 
 
+def _classify_squares(
+    classifier: Any,
+    classifier_vars: Any,
+    classifier_outputs_probabilities: bool,
+    boards: jnp.ndarray,  # (N, 512, 512) f32, post-flip
+) -> jnp.ndarray:
+    """Slice boards into squares and classify: (N, 64, 13) f32 probs."""
+    n = boards.shape[0]
+    squares = extract_squares_batch(boards)
+    cls_in = squares.reshape(n * 64, *constants.PIECE_SIZE, 1) / 255.0
+    cls_out = classifier.apply(classifier_vars, cls_in)
+    # softmax in f32 even when the model runs bf16: bf16 exp/normalise
+    # flattens confident predictions to ~0.95-0.97 (measured on a v5e),
+    # which corrupts the served confidence_scores; the cast costs 64x13xN
+    # elements, nothing
+    cls_probs = (
+        cls_out
+        if classifier_outputs_probabilities
+        else jax.nn.softmax(cls_out.astype(jnp.float32), axis=-1)
+    )
+    return cls_probs.reshape(n, 64, constants.NUM_CLASSES).astype(jnp.float32)
+
+
 def _pipeline_core(
     extractor: Any,
     classifier: Any,
@@ -106,10 +132,18 @@ def _pipeline_core(
     comp_f32: jnp.ndarray,  # (B, 256, 256, 3) f32 in [0, 255], BGR
     gray: jnp.ndarray,  # (B, H, W) f32 grayscale full-res
     threshold: jnp.ndarray,
+    refine: str = "arbitrate",
 ) -> dict[str, jnp.ndarray]:
     """Shared back half of every packed pipeline variant: segmentation →
-    quadrangle → warp → slice → classify, from a prepared seg input and a
-    full-res grayscale."""
+    quadrangle → warp → grid refinement → slice → classify, from a
+    prepared seg input and a full-res grayscale.
+
+    ``refine`` (static): "arbitrate" (default — detect the 8×8 grid in the
+    warped board, apply the affine correction, classify BOTH versions and
+    keep the more confident per board; the measured round-4 config, see
+    ops/gridfix.py), "detect" (apply the detected correction
+    unconditionally — one classifier pass, no safety net) or "off" (the
+    reference's geometry: the mask quad is final)."""
     b, h, w = gray.shape
     x = comp_f32 / 255.0
     seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
@@ -118,27 +152,55 @@ def _pipeline_core(
     quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
     safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
     ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(safe_quad)
-    boards = warp_perspective(gray, ms, constants.BOARD_SIZE)
-    boards = hflip(boards)
-    boards_u8 = jnp.clip(jnp.floor(boards + 0.5), 0, 255).astype(jnp.uint8)
-    squares = extract_squares_batch(boards)
-    cls_in = squares.reshape(b * 64, *constants.PIECE_SIZE, 1) / 255.0
-    cls_out = classifier.apply(classifier_vars, cls_in)
-    # softmax in f32 even when the model runs bf16: bf16 exp/normalise
-    # flattens confident predictions to ~0.95-0.97 (measured on a v5e),
-    # which corrupts the served confidence_scores; the cast costs 64x13xB
-    # elements, nothing
-    cls_probs = (
-        cls_out
-        if classifier_outputs_probabilities
-        else jax.nn.softmax(cls_out.astype(jnp.float32), axis=-1)
-    )
+    boards0 = warp_perspective(gray, ms, constants.BOARD_SIZE)  # pre-flip
+
+    if refine == "off":
+        boards_sel = boards0
+        quad_out = quad_scaled
+        cls_probs = _classify_squares(
+            classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards_sel)
+        )
+    else:
+        # detection runs on the uint8-rounded board: sub-quantum platform
+        # numerics (bf16 UNet → marginal mask pixels) can shift the f32
+        # board by fractions of a gray level, and rounding first keeps the
+        # detected comb identical across CPU/TPU
+        rounded = jnp.clip(jnp.floor(boards0 + 0.5), 0, 255)
+        corr = gridfix.detect_grid(rounded)  # (B, 4)
+        boards1 = gridfix.apply_correction(boards0, corr)
+        quad1 = gridfix.refined_quadrangle(ms, corr)
+        if refine == "detect":
+            boards_sel = boards1
+            quad_out = quad1
+            cls_probs = _classify_squares(
+                classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards_sel)
+            )
+        else:  # arbitrate
+            both = _classify_squares(
+                classifier,
+                classifier_vars,
+                classifier_outputs_probabilities,
+                hflip(jnp.concatenate([boards0, boards1], axis=0)),
+            )  # (2B, 64, 13)
+            p0, p1 = both[:b], both[b:]
+            # mean top-1 probability over the 64 squares: the measured
+            # arbitration metric (beats mean-log; RESULTS.md round 4) —
+            # crops centered on their squares classify more confidently
+            conf0 = p0.max(axis=-1).mean(axis=-1)  # (B,)
+            conf1 = p1.max(axis=-1).mean(axis=-1)
+            use = conf1 > conf0
+            cls_probs = jnp.where(use[:, None, None], p1, p0)
+            boards_sel = jnp.where(use[:, None, None], boards1, boards0)
+            quad_out = jnp.where(use[:, None, None], quad1, quad_scaled)
+
+    boards_flipped = hflip(boards_sel)
+    boards_u8 = jnp.clip(jnp.floor(boards_flipped + 0.5), 0, 255).astype(jnp.uint8)
     return {
         "logits": seg_logits,
-        "quadrangle": quad_scaled,
+        "quadrangle": quad_out,
         "found": found,
         "board_image": boards_u8,
-        "probabilities": cls_probs.reshape(b, 64, constants.NUM_CLASSES).astype(jnp.float32),
+        "probabilities": cls_probs,
     }
 
 
@@ -146,6 +208,7 @@ def process_packed_fn(
     extractor: Any,
     classifier: Any,
     classifier_outputs_probabilities: bool,
+    refine: str = "arbitrate",
 ) -> Any:
     """IO-optimized variant: takes host-prepared inputs — the 256×256×3
     resized image (for segmentation) and the 512×512 grayscale (for
@@ -172,6 +235,7 @@ def process_packed_fn(
             comp.astype(jnp.float32),
             gray.astype(jnp.float32),
             threshold,
+            refine,
         )
 
     return fn
@@ -188,6 +252,7 @@ def process_yuv_fn(
     extractor: Any,
     classifier: Any,
     classifier_outputs_probabilities: bool,
+    refine: str = "arbitrate",
 ) -> Any:
     """Minimum-bytes variant: full-res luma + 2×-subsampled blue/red chroma
     of the segmentation input.  295 KB/board at 512×512 vs 459 KB for
@@ -226,6 +291,7 @@ def process_yuv_fn(
             comp,
             y_f,
             threshold,
+            refine,
         )
 
     return fn
@@ -243,6 +309,7 @@ def process_yuv444_fn(
     extractor: Any,
     classifier: Any,
     classifier_outputs_probabilities: bool,
+    refine: str = "arbitrate",
 ) -> Any:
     """BIT-EXACT minimum-bytes variant: full-res luma + full-resolution
     (256²) blue/red chroma differences + a 4-bit/pixel green residual
@@ -290,6 +357,7 @@ def process_yuv444_fn(
             comp,
             y.astype(jnp.float32),
             threshold,
+            refine,
         )
 
     return fn
@@ -542,7 +610,17 @@ class Engine:
         classifier_outputs_probabilities: bool = False,
         mesh: Any = None,
         donate_inputs: bool = False,
+        refine_grid: str | None = None,
     ) -> None:
+        # grid-refinement mode (ops/gridfix.py): "arbitrate" (default),
+        # "detect", or "off"; CVTPU_REFINE overrides for quick A/B runs
+        if refine_grid is None:
+            import os
+
+            refine_grid = os.getenv("CVTPU_REFINE", "arbitrate")
+        if refine_grid not in ("arbitrate", "detect", "off"):
+            raise ValueError(f"unknown refine_grid mode {refine_grid!r}")
+        self._refine = refine_grid
         self.mesh = mesh
         if mesh is not None:
             self._ex_vars = jax.device_put(extractor_vars, mesh_lib.replicate(mesh))
@@ -577,7 +655,9 @@ class Engine:
         # for latency-sensitive serving, where shipping the board/logits
         # buffers D2H dominates B=1 time
         ex_vars, cl_vars = self._ex_vars, self._cl_vars
-        lite_fn = process_packed_fn(extractor, classifier, classifier_outputs_probabilities)
+        lite_fn = process_packed_fn(
+            extractor, classifier, classifier_outputs_probabilities, self._refine
+        )
         self._jitted_lite_packed = jax.jit(
             lambda c, g, t: {
                 k: v
@@ -619,7 +699,9 @@ class Engine:
 
     def _packed_program(self) -> Any:
         if self._jitted_packed is None:
-            fn = process_packed_fn(self._extractor, self._classifier, self._cls_probs_flag)
+            fn = process_packed_fn(
+                self._extractor, self._classifier, self._cls_probs_flag, self._refine
+            )
             ex_vars, cl_vars = self._ex_vars, self._cl_vars
             self._jitted_packed = jax.jit(lambda c, g, t: fn(ex_vars, cl_vars, c, g, t))
         return self._jitted_packed
@@ -633,7 +715,9 @@ class Engine:
 
     def _yuv_program(self) -> Any:
         if self._jitted_yuv is None:
-            fn = process_yuv_fn(self._extractor, self._classifier, self._cls_probs_flag)
+            fn = process_yuv_fn(
+                self._extractor, self._classifier, self._cls_probs_flag, self._refine
+            )
             ex_vars, cl_vars = self._ex_vars, self._cl_vars
             self._jitted_yuv = jax.jit(lambda y, b, r, t: fn(ex_vars, cl_vars, y, b, r, t))
         return self._jitted_yuv
@@ -653,7 +737,9 @@ class Engine:
 
     def _yuv444_program(self) -> Any:
         if self._jitted_yuv444 is None:
-            fn = process_yuv444_fn(self._extractor, self._classifier, self._cls_probs_flag)
+            fn = process_yuv444_fn(
+                self._extractor, self._classifier, self._cls_probs_flag, self._refine
+            )
             ex_vars, cl_vars = self._ex_vars, self._cl_vars
             self._jitted_yuv444 = jax.jit(
                 lambda y, b, r, s, t: fn(ex_vars, cl_vars, y, b, r, s, t)
