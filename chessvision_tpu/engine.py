@@ -49,6 +49,13 @@ _DEST = np.array(
     [[0.0, 0.0], [_BOARD_W, 0.0], [_BOARD_W, _BOARD_H], [0.0, _BOARD_H]], np.float32
 )
 
+# Grid-refinement arbitration temperature: the sigmoid width (in mean-top-1
+# confidence units) of the original↔refined probability blend.  Swept over
+# {1e-3..2e-2} on both backends (scripts/debug_gridfix.py --summary): 0.01
+# minimizes test wrong squares on CPU (24) and TPU (23) and keeps
+# cross-platform FEN agreement at 36/38 with a worst diff of 2 squares.
+_ARBITRATE_TAU = 0.01
+
 
 def process_images_fn(
     extractor: Any,
@@ -140,8 +147,8 @@ def _pipeline_core(
 
     ``refine`` (static): "arbitrate" (default — detect the 8×8 grid in the
     warped board, apply the affine correction, classify BOTH versions and
-    keep the more confident per board; the measured round-4 config, see
-    ops/gridfix.py), "detect" (apply the detected correction
+    softly blend their probabilities by confidence; the measured round-4
+    config, see ops/gridfix.py), "detect" (apply the detected correction
     unconditionally — one classifier pass, no safety net) or "off" (the
     reference's geometry: the mask quad is final)."""
     b, h, w = gray.shape
@@ -188,8 +195,20 @@ def _pipeline_core(
             # crops centered on their squares classify more confidently
             conf0 = p0.max(axis=-1).mean(axis=-1)  # (B,)
             conf1 = p1.max(axis=-1).mean(axis=-1)
-            use = conf1 > conf0
-            cls_probs = jnp.where(use[:, None, None], p1, p0)
+            # Soft blend rather than hard argmax: the confidence gap is a
+            # near-tie (|gap| < 0.01) on most boards, and bf16/XLA wobble
+            # of ~±3e-3 across platforms AND batch shapes flips a hard
+            # argmax unpredictably (measured: one board drifted 5 squares
+            # CPU→TPU).  A sigmoid blend of the two probability fields is
+            # continuous in the gap — platform wobble moves FENs by at
+            # most the genuinely ambiguous squares — and measured MORE
+            # accurate than the argmax (CPU 25→24, TPU 24→23 wrong
+            # squares; τ swept in scripts/debug_gridfix.py --summary).
+            gap = conf1 - conf0
+            wgt = jax.nn.sigmoid(gap / jnp.float32(_ARBITRATE_TAU))[:, None, None]
+            cls_probs = wgt * p1 + (1.0 - wgt) * p0
+            # board_image/quadrangle metadata stay discrete (the better side)
+            use = gap > 0
             boards_sel = jnp.where(use[:, None, None], boards1, boards0)
             quad_out = jnp.where(use[:, None, None], quad1, quad_scaled)
 

@@ -1,0 +1,193 @@
+"""Per-board grid-refinement diagnostics (CPU/TPU A-B tool).
+
+Replays the engine pipeline with the gridfix internals exposed — detected
+(offset, spacing) per axis, arbitration confidences for the original and
+corrected boards, the chosen side, and both candidate FENs — so a
+platform-dependent arbitration flip (the failure mode the TPU drift gate
+guards) can be localized to detection vs confidence in one run per
+backend.
+
+Usage:
+  python scripts/debug_gridfix.py [substring ...]      # TPU/default backend
+  CVTPU_DEBUG_CPU=1 python scripts/debug_gridfix.py …  # force CPU
+  python scripts/debug_gridfix.py --summary            # aggregate error
+      counts over the whole test set for every arbitration variant
+      (original / detect / board-level / per-square / oracle)
+
+Prints one JSON line per matching test image (or one summary line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    import jax
+
+    if os.getenv("CVTPU_DEBUG_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chessvision_tpu import ChessVision, constants
+    from chessvision_tpu.chessboard import fen_to_labels, labels_to_fen
+    from chessvision_tpu.engine import (
+        _DEST,
+        _classify_squares,
+        find_quadrangle_batch,
+        hflip,
+        preprocess_images,
+        scale_quadrangle,
+        validate_labels_batch,
+        warp_perspective,
+    )
+    from chessvision_tpu.eval.evaluate import get_test_generator
+    from chessvision_tpu.ops import gridfix
+    from chessvision_tpu.ops.warp import get_perspective_transform
+
+    argv = sys.argv[1:]
+    summary = "--summary" in argv
+    wanted = [a for a in argv if not a.startswith("--")]
+    items = [
+        it
+        for it in get_test_generator()
+        if not wanted or any(w in it[1] for w in wanted)
+    ]
+    if not items:
+        print("no matching test images", file=sys.stderr)
+        return 1
+
+    cv = ChessVision(lazy_load=False)
+    eng = cv.engine
+    ex, cl = eng._extractor, eng._classifier
+    ex_vars, cl_vars = eng._ex_vars, eng._cl_vars
+    probs_flag = eng._cls_probs_flag
+    square_names = constants.SQUARE_NAMES_NORMAL
+
+    @jax.jit
+    def debug_fn(images: jnp.ndarray, thr: jnp.ndarray) -> dict:
+        comp, gray = preprocess_images(images)
+        b, h, w = gray.shape
+        x = comp.astype(jnp.float32) / 255.0
+        seg_logits = ex.apply(ex_vars, x)[..., 0].astype(jnp.float32)
+        probs = jax.nn.sigmoid(seg_logits)
+        quad, found = find_quadrangle_batch(probs, thr)
+        quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
+        safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
+        ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(
+            safe_quad
+        )
+        boards0 = warp_perspective(gray.astype(jnp.float32), ms, constants.BOARD_SIZE)
+        rounded = jnp.clip(jnp.floor(boards0 + 0.5), 0, 255)
+        corr = gridfix.detect_grid(rounded)
+        boards1 = gridfix.apply_correction(boards0, corr)
+        both = _classify_squares(
+            cl, cl_vars, probs_flag, hflip(jnp.concatenate([boards0, boards1], axis=0))
+        )
+        p0, p1 = both[:b], both[b:]
+        return {
+            "found": found,
+            "corr": corr,
+            "conf0": p0.max(axis=-1).mean(axis=-1),
+            "conf1": p1.max(axis=-1).mean(axis=-1),
+            "p0": p0,
+            "p1": p1,
+        }
+
+    # run in shape groups (the test set carries a few non-512 frames)
+    shape_groups: dict[tuple, list] = {}
+    for idx, it in enumerate(items):
+        shape_groups.setdefault(it[0].shape, []).append(idx)
+    per_item: list[dict] = [None] * len(items)  # type: ignore[list-item]
+    for idxs in shape_groups.values():
+        batch = np.stack([items[i][0] for i in idxs])
+        out = debug_fn(jnp.asarray(batch), jnp.float32(0.5))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for j, i in enumerate(idxs):
+            per_item[i] = {k: v[j] for k, v in out.items()}
+
+    def fen_of(p: np.ndarray) -> str:
+        validated, _ = validate_labels_batch(p[None], square_names)
+        return labels_to_fen(validated[0], square_names)
+
+    def errors_of(fen: str, true_fen: str) -> int:
+        return sum(a != b for a, b in zip(fen_to_labels(fen), fen_to_labels(true_fen)))
+
+    if not summary:
+        for i, (_, name, true_fen) in enumerate(items):
+            r = per_item[i]
+            rec = {
+                "backend": jax.default_backend(),
+                "image": name,
+                "found": bool(r["found"]),
+                "corr": [round(float(v), 3) for v in r["corr"]],
+                "conf0": round(float(r["conf0"]), 6),
+                "conf1": round(float(r["conf1"]), 6),
+                "chosen": "refined" if r["conf1"] > r["conf0"] else "original",
+                "fen0": fen_of(r["p0"]),
+                "fen1": fen_of(r["p1"]),
+                "true_fen": true_fen,
+            }
+            print(json.dumps(rec))
+        return 0
+
+    # ---- aggregate error counts per arbitration variant over the set ----
+    margins = [0.0, 0.001, 0.002, 0.005, 0.01]
+    taus = [0.001, 0.002, 0.005, 0.01, 0.02]
+    counts = {
+        "original": 0,
+        "detect": 0,
+        "per_square": 0,
+        "oracle_board": 0,
+        **{f"board_margin_{m}": 0 for m in margins},
+        **{f"blend_tau_{t}": 0 for t in taus},
+    }
+    near_ties = []
+    dump: dict[str, dict] = {}
+    for i, (_, name, true_fen) in enumerate(items):
+        r = per_item[i]
+        e0 = errors_of(fen_of(r["p0"]), true_fen)
+        e1 = errors_of(fen_of(r["p1"]), true_fen)
+        counts["original"] += e0
+        counts["detect"] += e1
+        counts["oracle_board"] += min(e0, e1)
+        for m in margins:
+            counts[f"board_margin_{m}"] += e1 if r["conf1"] > r["conf0"] + m else e0
+        sq_use_1 = r["p1"].max(axis=-1) > r["p0"].max(axis=-1)  # (64,)
+        mixed = np.where(sq_use_1[:, None], r["p1"], r["p0"])
+        counts["per_square"] += errors_of(fen_of(mixed), true_fen)
+        gap = float(r["conf1"] - r["conf0"])
+        dump[name] = {"gap": round(gap, 6), "e0": e0, "e1": e1}
+        for t in taus:
+            w = 1.0 / (1.0 + np.exp(-gap / t))
+            fen_b = fen_of(w * r["p1"] + (1.0 - w) * r["p0"])
+            counts[f"blend_tau_{t}"] += errors_of(fen_b, true_fen)
+            dump[name][f"fen_blend_{t}"] = fen_b
+        if abs(gap) < 0.005 and e0 != e1:
+            near_ties.append({"image": name[:8], "gap": round(gap, 5), "e0": e0, "e1": e1})
+    out_path = os.getenv("CVTPU_DEBUG_DUMP")
+    if out_path:
+        Path(out_path).write_text(json.dumps(dump, indent=1))
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "images": len(items),
+                "wrong_squares": counts,
+                "near_ties_with_consequence": near_ties,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

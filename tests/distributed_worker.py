@@ -133,7 +133,13 @@ def build_parity_engine(mesh):
     found=True and the warp geometry is deterministic) plus a REAL
     seeded random-init ResNet18 classifier (so probabilities — and the
     FENs built from them — depend on actual warped pixel content, which
-    is what crosses the process boundary)."""
+    is what crosses the process boundary).
+
+    Grid refinement is pinned OFF: the target here is the multi-process
+    INPUT path (make_global_batch sharding), not gridfix — which has its
+    own unit tests and runs sharded in __graft_entry__.dryrun_multichip —
+    and the arbitrate program costs ~60 s/call on the emulated-bf16 CPU
+    mesh, which blows the worker timeout for zero extra coverage."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -160,7 +166,9 @@ def build_parity_engine(mesh):
     cl_vars = classifier.init(
         jax.random.PRNGKey(11), jnp.zeros((1, 64, 64, 1), jnp.float32)
     )
-    return Engine(FixedQuadExtractor(), {}, classifier, cl_vars, mesh=mesh)
+    return Engine(
+        FixedQuadExtractor(), {}, classifier, cl_vars, mesh=mesh, refine_grid="off"
+    )
 
 
 def parity_engine_batch():
