@@ -203,11 +203,22 @@ def main() -> None:
     # ---- compute-only (device-resident input) ----
     # Measured at 8x the e2e batch: per-dispatch overhead on this backend
     # is ~30 ms, so larger batches amortize it (849 -> 968 -> 1003 boards/s
-    # going 128 -> 512 -> 1024 on v5e; 1024 fits HBM with the bf16 UNet);
-    # input is tiled on DEVICE so no extra link traffic.
+    # going 128 -> 512 -> 1024 on v5e; 1024 fits HBM with the bf16 UNet and
+    # sequentially-scheduled arbitrate classifier passes); input is tiled
+    # on DEVICE so no extra link traffic.  If a future program change makes
+    # the big batch exceed HBM again, fall back by halves instead of dying
+    # — the driver runs this unattended.
     cbsz = bsz if args.quick else bsz * 8
-    dev_batch = jnp.tile(jnp.asarray(batch), (cbsz // bsz, 1, 1, 1))
-    np.asarray(engine._jitted_closed(dev_batch, thr)["found"])
+    while True:
+        try:
+            dev_batch = jnp.tile(jnp.asarray(batch), (max(1, cbsz // bsz), 1, 1, 1))[:cbsz]
+            np.asarray(engine._jitted_closed(dev_batch, thr)["found"])
+            break
+        except Exception:
+            if cbsz <= bsz:
+                raise
+            cbsz //= 2
+            print(f"compute batch OOM, retrying at {cbsz}", file=sys.stderr)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = engine._jitted_closed(dev_batch, thr)

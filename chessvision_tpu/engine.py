@@ -183,13 +183,24 @@ def _pipeline_core(
                 classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards_sel)
             )
         else:  # arbitrate
-            both = _classify_squares(
+            # Classify the two board sets SEQUENTIALLY, not as one 2B
+            # concat: the classifier's stem activations are the pipeline's
+            # largest buffers (~8.6 GB bf16 at B=1024), and a 2B pass keeps
+            # two of them live at once — measured OOM at B=1024 on a 16 GB
+            # v5e (25.3 GB requested).  The zero-valued add of p0's first
+            # element onto boards1 creates a data dependency that forces
+            # XLA to schedule pass 1 after pass 0 completes, so their
+            # activations share the same HBM (exact: x + 0.0 == x in f32).
+            p0 = _classify_squares(
+                classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards0)
+            )  # (B, 64, 13)
+            anchor = (p0[0, 0, 0] * 0.0).astype(boards1.dtype)
+            p1 = _classify_squares(
                 classifier,
                 classifier_vars,
                 classifier_outputs_probabilities,
-                hflip(jnp.concatenate([boards0, boards1], axis=0)),
-            )  # (2B, 64, 13)
-            p0, p1 = both[:b], both[b:]
+                hflip(boards1 + anchor),
+            )
             # mean top-1 probability over the 64 squares: the measured
             # arbitration metric (beats mean-log; RESULTS.md round 4) —
             # crops centered on their squares classify more confidently
