@@ -56,6 +56,14 @@ _DEST = np.array(
 # cross-platform FEN agreement at 36/38 with a worst diff of 2 squares.
 _ARBITRATE_TAU = 0.01
 
+# Batches above this size run the arbitrate tail (resample + two classifier
+# passes + blend) chunked via lax.map, bounding live stem activations to
+# ~2.2 GB regardless of batch size (8.4 MB/board/pass × chunk × 2 passes).
+# 128 boards = 8192 square crops per classifier matmul — MXU-saturating.
+# Eval/golden paths (B ≤ 38) and the e2e bench batch (128) stay unchunked,
+# so committed FEN goldens are unaffected by the chunk boundary.
+_ARBITRATE_CHUNK = 128
+
 
 def process_images_fn(
     extractor: Any,
@@ -174,53 +182,90 @@ def _pipeline_core(
         # detected comb identical across CPU/TPU
         rounded = jnp.clip(jnp.floor(boards0 + 0.5), 0, 255)
         corr = gridfix.detect_grid(rounded)  # (B, 4)
-        boards1 = gridfix.apply_correction(boards0, corr)
-        quad1 = gridfix.refined_quadrangle(ms, corr)
         if refine == "detect":
-            boards_sel = boards1
-            quad_out = quad1
+            boards_sel = gridfix.apply_correction(boards0, corr)
+            quad_out = gridfix.refined_quadrangle(ms, corr)
             cls_probs = _classify_squares(
                 classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards_sel)
             )
         else:  # arbitrate
-            # Classify the two board sets SEQUENTIALLY, not as one 2B
-            # concat: the classifier's stem activations are the pipeline's
-            # largest buffers (~8.6 GB bf16 at B=1024), and a 2B pass keeps
-            # two of them live at once — measured OOM at B=1024 on a 16 GB
-            # v5e (25.3 GB requested).  The zero-valued add of p0's first
-            # element onto boards1 creates a data dependency that forces
-            # XLA to schedule pass 1 after pass 0 completes, so their
-            # activations share the same HBM (exact: x + 0.0 == x in f32).
-            p0 = _classify_squares(
-                classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards0)
-            )  # (B, 64, 13)
-            anchor = (p0[0, 0, 0] * 0.0).astype(boards1.dtype)
-            p1 = _classify_squares(
-                classifier,
-                classifier_vars,
-                classifier_outputs_probabilities,
-                hflip(boards1 + anchor),
-            )
-            # mean top-1 probability over the 64 squares: the measured
-            # arbitration metric (beats mean-log; RESULTS.md round 4) —
-            # crops centered on their squares classify more confidently
-            conf0 = p0.max(axis=-1).mean(axis=-1)  # (B,)
-            conf1 = p1.max(axis=-1).mean(axis=-1)
-            # Soft blend rather than hard argmax: the confidence gap is a
-            # near-tie (|gap| < 0.01) on most boards, and bf16/XLA wobble
-            # of ~±3e-3 across platforms AND batch shapes flips a hard
-            # argmax unpredictably (measured: one board drifted 5 squares
-            # CPU→TPU).  A sigmoid blend of the two probability fields is
-            # continuous in the gap — platform wobble moves FENs by at
-            # most the genuinely ambiguous squares — and measured MORE
-            # accurate than the argmax (CPU 25→24, TPU 24→23 wrong
-            # squares; τ swept in scripts/debug_gridfix.py --summary).
-            gap = conf1 - conf0
-            wgt = jax.nn.sigmoid(gap / jnp.float32(_ARBITRATE_TAU))[:, None, None]
-            cls_probs = wgt * p1 + (1.0 - wgt) * p0
-            # board_image/quadrangle metadata stay discrete (the better side)
-            use = gap > 0
-            boards_sel = jnp.where(use[:, None, None], boards1, boards0)
+            # Memory shape of this branch: the classifier's stem
+            # activations are the pipeline's largest buffers (~8.4
+            # MB/board/pass bf16 — 8.6 GB at B=1024), and arbitration
+            # needs TWO passes.  Unchunked that OOMs a 16 GB v5e at
+            # B=1024 (25.3 GB requested), and on the relay backend a
+            # failed execution poisons HBM for the rest of the process
+            # (measured: after 1024→512→256 OOMs even a 100 MB
+            # device_put fails) — so the big-batch path must fit BY
+            # CONSTRUCTION, not by fallback.  lax.map chunks the whole
+            # arbitrate tail (resample + both classifier passes + blend)
+            # over the batch: live stems are bounded by the chunk, and
+            # matmuls at 128 boards (8192 squares) still saturate the
+            # MXU.  Inside a chunk an optimization_barrier orders pass 1
+            # after pass 0 so their stems share the same HBM (the
+            # previous zero-valued-add data dependency was algebraically
+            # simplified away by XLA, which is how the OOM shipped).
+            def _arb_chunk(
+                xs: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+            ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                b0, corr_c, ms_c = xs
+                b1 = gridfix.apply_correction(b0, corr_c)
+                q1 = gridfix.refined_quadrangle(ms_c, corr_c)
+                p0 = _classify_squares(
+                    classifier, classifier_vars, classifier_outputs_probabilities, hflip(b0)
+                )  # (c, 64, 13)
+                p0, b1 = jax.lax.optimization_barrier((p0, b1))
+                p1 = _classify_squares(
+                    classifier, classifier_vars, classifier_outputs_probabilities, hflip(b1)
+                )
+                # mean top-1 probability over the 64 squares: the measured
+                # arbitration metric (beats mean-log; RESULTS.md round 4)
+                # — crops centered on their squares classify more
+                # confidently
+                conf0 = p0.max(axis=-1).mean(axis=-1)  # (c,)
+                conf1 = p1.max(axis=-1).mean(axis=-1)
+                # Soft blend rather than hard argmax: the confidence gap
+                # is a near-tie (|gap| < 0.01) on most boards, and
+                # bf16/XLA wobble of ~±3e-3 across platforms AND batch
+                # shapes flips a hard argmax unpredictably (measured: one
+                # board drifted 5 squares CPU→TPU).  A sigmoid blend of
+                # the two probability fields is continuous in the gap —
+                # platform wobble moves FENs by at most the genuinely
+                # ambiguous squares — and measured MORE accurate than the
+                # argmax (CPU 25→24, TPU 24→23 wrong squares; τ swept in
+                # scripts/debug_gridfix.py --summary).
+                gap = conf1 - conf0
+                wgt = jax.nn.sigmoid(gap / jnp.float32(_ARBITRATE_TAU))[:, None, None]
+                probs_c = wgt * p1 + (1.0 - wgt) * p0
+                # board_image/quadrangle metadata stay discrete (better side)
+                use = gap > 0
+                bsel = jnp.where(use[:, None, None], b1, b0)
+                return probs_c, bsel, q1, use
+
+            if b > _ARBITRATE_CHUNK:
+                # lax.scan over (n_chunks, chunk, ...) with the batched
+                # body; the tail chunk is padded by repeating row 0 (the
+                # pad rows' outputs are sliced away, and padding keeps
+                # ONE compiled body instead of a separate remainder
+                # program).
+                n_chunks = -(-b // _ARBITRATE_CHUNK)
+                padded = n_chunks * _ARBITRATE_CHUNK
+
+                def _chunked(a: jnp.ndarray) -> jnp.ndarray:
+                    if padded != b:
+                        fill = jnp.broadcast_to(a[:1], (padded - b, *a.shape[1:]))
+                        a = jnp.concatenate([a, fill], axis=0)
+                    return a.reshape(n_chunks, _ARBITRATE_CHUNK, *a.shape[1:])
+
+                xs_r = tuple(_chunked(a) for a in (boards0, corr, ms))
+                _, ys = jax.lax.scan(
+                    lambda carry, x: (carry, _arb_chunk(x)), None, xs_r
+                )
+                cls_probs, boards_sel, quad1, use = (
+                    y.reshape(padded, *y.shape[2:])[:b] for y in ys
+                )
+            else:
+                cls_probs, boards_sel, quad1, use = _arb_chunk((boards0, corr, ms))
             quad_out = jnp.where(use[:, None, None], quad1, quad_scaled)
 
     boards_flipped = hflip(boards_sel)

@@ -192,3 +192,38 @@ def test_engine_non_512_frames(stub_engine: Engine) -> None:
         assert res.quadrangle.max() > 200.0 * sf
         assert all(f == res.fens[0] for f in res.fens)
         assert res.fens[0]  # non-empty FEN
+
+
+def test_arbitrate_chunked_matches_unchunked(monkeypatch) -> None:
+    """Batches above _ARBITRATE_CHUNK run the arbitrate tail (resample +
+    two classifier passes + soft blend) under lax.map so live stem
+    activations are bounded (the unchunked 2-pass program OOMed a 16 GB
+    v5e at B=1024).  The chunked program must agree with the unchunked
+    one — same boards, same corrections, same blend — including the
+    lax.map remainder path (5 = 2+2+1 at chunk 2)."""
+    import chessvision_tpu.engine as engine_mod
+    from chessvision_tpu import models
+
+    ex, _ = models.create_extractor("yolo", dtype=jnp.float32, width=8)
+    cl, cl_spec = models.create_classifier("yolo", dtype=jnp.float32, width=8)
+    key = jax.random.PRNGKey(0)
+    ex_vars = ex.init(key, jnp.zeros((1, 256, 256, 3)))
+    cl_vars = cl.init(key, jnp.zeros((1, 64, 64, 1)))
+    images = np.random.default_rng(3).integers(0, 256, (5, 512, 512, 3), np.uint8)
+
+    def run() -> object:
+        eng = Engine(
+            ex, ex_vars, cl, cl_vars,
+            classifier_outputs_probabilities=cl_spec.outputs_probabilities,
+        )
+        return eng.process_batch(images)
+
+    monkeypatch.setattr(engine_mod, "_ARBITRATE_CHUNK", 64)
+    ref = run()  # B=5 <= 64: unchunked tail
+    monkeypatch.setattr(engine_mod, "_ARBITRATE_CHUNK", 2)
+    got = run()  # chunked: 2 + 2 + remainder 1
+    np.testing.assert_allclose(got.probabilities, ref.probabilities, atol=1e-5)
+    np.testing.assert_allclose(
+        got.quadrangle.astype(np.float64), ref.quadrangle.astype(np.float64), atol=1e-3
+    )
+    np.testing.assert_array_equal(got.board_found, ref.board_found)
