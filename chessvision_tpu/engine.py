@@ -56,12 +56,18 @@ _DEST = np.array(
 # cross-platform FEN agreement at 36/38 with a worst diff of 2 squares.
 _ARBITRATE_TAU = 0.01
 
-# Batches above this size run the arbitrate tail (resample + two classifier
-# passes + blend) chunked via lax.map, bounding live stem activations to
-# ~2.2 GB regardless of batch size (8.4 MB/board/pass × chunk × 2 passes).
-# 128 boards = 8192 square crops per classifier matmul — MXU-saturating.
-# Eval/golden paths (B ≤ 38) and the e2e bench batch (128) stay unchunked,
-# so committed FEN goldens are unaffected by the chunk boundary.
+# PER-DEVICE batches above this size run the arbitrate tail (resample + two
+# classifier passes + blend) as a lax.scan over fixed-size chunks, bounding
+# live stem activations per device to ~2.2 GB regardless of batch size
+# (8.4 MB/board/pass × chunk × 2 passes).  128 boards = 8192 square crops
+# per classifier matmul — enough to keep the MXU busy, though the scan's
+# serialization costs measurable throughput vs the unchunked program
+# (sweep via CVTPU_ARBITRATE_CHUNK; measured numbers in RESULTS.md).
+# The Engine scales the threshold by mesh size (per-device residency is
+# b/n_devices, and a scan's leading axis cannot stay batch-sharded — see
+# Engine.__init__), so eval/golden paths (B ≤ 38), the e2e bench batch
+# (128) and moderate mesh batches stay unchunked; committed FEN goldens
+# are unaffected by the chunk boundary.
 _ARBITRATE_CHUNK = 128
 
 
@@ -70,6 +76,7 @@ def process_images_fn(
     classifier: Any,
     classifier_outputs_probabilities: bool,
     refine: str = "arbitrate",
+    arbitrate_chunk: int | None = None,
 ) -> Any:
     """Build the pure batched pipeline function for a (extractor,
     classifier) module pair.  The returned function is jit-compatible and
@@ -92,6 +99,7 @@ def process_images_fn(
             gray.astype(jnp.float32),
             threshold,
             refine,
+            arbitrate_chunk,
         )
 
     return fn
@@ -148,6 +156,7 @@ def _pipeline_core(
     gray: jnp.ndarray,  # (B, H, W) f32 grayscale full-res
     threshold: jnp.ndarray,
     refine: str = "arbitrate",
+    arbitrate_chunk: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Shared back half of every packed pipeline variant: segmentation →
     quadrangle → warp → grid refinement → slice → classify, from a
@@ -158,7 +167,12 @@ def _pipeline_core(
     softly blend their probabilities by confidence; the measured round-4
     config, see ops/gridfix.py), "detect" (apply the detected correction
     unconditionally — one classifier pass, no safety net) or "off" (the
-    reference's geometry: the mask quad is final)."""
+    reference's geometry: the mask quad is final).
+
+    ``arbitrate_chunk`` (static): batch sizes above it run the arbitrate
+    tail as a lax.scan over chunks of this size (HBM bound); None reads
+    the module default.  The Engine scales it by mesh size."""
+    chunk = _ARBITRATE_CHUNK if arbitrate_chunk is None else arbitrate_chunk
     b, h, w = gray.shape
     x = comp_f32 / 255.0
     seg_logits = extractor.apply(extractor_vars, x)[..., 0].astype(jnp.float32)
@@ -197,11 +211,12 @@ def _pipeline_core(
             # failed execution poisons HBM for the rest of the process
             # (measured: after 1024→512→256 OOMs even a 100 MB
             # device_put fails) — so the big-batch path must fit BY
-            # CONSTRUCTION, not by fallback.  lax.map chunks the whole
-            # arbitrate tail (resample + both classifier passes + blend)
-            # over the batch: live stems are bounded by the chunk, and
-            # matmuls at 128 boards (8192 squares) still saturate the
-            # MXU.  Inside a chunk an optimization_barrier orders pass 1
+            # CONSTRUCTION, not by fallback.  A lax.scan over fixed-size
+            # chunks runs the whole arbitrate tail (resample + both
+            # classifier passes + blend) sequentially over the batch:
+            # live stems are bounded by the chunk, at a measured
+            # serialization cost (RESULTS.md round 5).
+            # Inside a chunk an optimization_barrier orders pass 1
             # after pass 0 so their stems share the same HBM (the
             # previous zero-valued-add data dependency was algebraically
             # simplified away by XLA, which is how the OOM shipped).
@@ -242,20 +257,20 @@ def _pipeline_core(
                 bsel = jnp.where(use[:, None, None], b1, b0)
                 return probs_c, bsel, q1, use
 
-            if b > _ARBITRATE_CHUNK:
+            if b > chunk:
                 # lax.scan over (n_chunks, chunk, ...) with the batched
                 # body; the tail chunk is padded by repeating row 0 (the
                 # pad rows' outputs are sliced away, and padding keeps
                 # ONE compiled body instead of a separate remainder
                 # program).
-                n_chunks = -(-b // _ARBITRATE_CHUNK)
-                padded = n_chunks * _ARBITRATE_CHUNK
+                n_chunks = -(-b // chunk)
+                padded = n_chunks * chunk
 
                 def _chunked(a: jnp.ndarray) -> jnp.ndarray:
                     if padded != b:
                         fill = jnp.broadcast_to(a[:1], (padded - b, *a.shape[1:]))
                         a = jnp.concatenate([a, fill], axis=0)
-                    return a.reshape(n_chunks, _ARBITRATE_CHUNK, *a.shape[1:])
+                    return a.reshape(n_chunks, chunk, *a.shape[1:])
 
                 xs_r = tuple(_chunked(a) for a in (boards0, corr, ms))
                 _, ys = jax.lax.scan(
@@ -284,6 +299,7 @@ def process_packed_fn(
     classifier: Any,
     classifier_outputs_probabilities: bool,
     refine: str = "arbitrate",
+    arbitrate_chunk: int | None = None,
 ) -> Any:
     """IO-optimized variant: takes host-prepared inputs — the 256×256×3
     resized image (for segmentation) and the 512×512 grayscale (for
@@ -311,6 +327,7 @@ def process_packed_fn(
             gray.astype(jnp.float32),
             threshold,
             refine,
+            arbitrate_chunk,
         )
 
     return fn
@@ -328,6 +345,7 @@ def process_yuv_fn(
     classifier: Any,
     classifier_outputs_probabilities: bool,
     refine: str = "arbitrate",
+    arbitrate_chunk: int | None = None,
 ) -> Any:
     """Minimum-bytes variant: full-res luma + 2×-subsampled blue/red chroma
     of the segmentation input.  295 KB/board at 512×512 vs 459 KB for
@@ -367,6 +385,7 @@ def process_yuv_fn(
             y_f,
             threshold,
             refine,
+            arbitrate_chunk,
         )
 
     return fn
@@ -385,6 +404,7 @@ def process_yuv444_fn(
     classifier: Any,
     classifier_outputs_probabilities: bool,
     refine: str = "arbitrate",
+    arbitrate_chunk: int | None = None,
 ) -> Any:
     """BIT-EXACT minimum-bytes variant: full-res luma + full-resolution
     (256²) blue/red chroma differences + a 4-bit/pixel green residual
@@ -433,6 +453,7 @@ def process_yuv444_fn(
             y.astype(jnp.float32),
             threshold,
             refine,
+            arbitrate_chunk,
         )
 
     return fn
@@ -686,17 +707,30 @@ class Engine:
         mesh: Any = None,
         donate_inputs: bool = False,
         refine_grid: str | None = None,
+        arbitrate_chunk: int | None = None,
     ) -> None:
+        import os
+
         # grid-refinement mode (ops/gridfix.py): "arbitrate" (default),
         # "detect", or "off"; CVTPU_REFINE overrides for quick A/B runs
         if refine_grid is None:
-            import os
-
             refine_grid = os.getenv("CVTPU_REFINE", "arbitrate")
         if refine_grid not in ("arbitrate", "detect", "off"):
             raise ValueError(f"unknown refine_grid mode {refine_grid!r}")
         self._refine = refine_grid
         self.mesh = mesh
+        # Arbitrate-tail chunk: the HBM bound is PER DEVICE, so on a mesh
+        # (batch axis sharded over n devices) the chunk scales by mesh
+        # size — B=1024 on 8 chips has 128-board per-device residency and
+        # must NOT chunk: a scan's leading axis cannot stay batch-sharded,
+        # so chunking a sharded batch serializes the data-parallel tail
+        # (advisor r4).  CVTPU_ARBITRATE_CHUNK overrides the per-device
+        # chunk for throughput sweeps on real hardware.
+        if arbitrate_chunk is None:
+            env_chunk = os.getenv("CVTPU_ARBITRATE_CHUNK")
+            per_device = int(env_chunk) if env_chunk else _ARBITRATE_CHUNK
+            arbitrate_chunk = per_device * (mesh.size if mesh is not None else 1)
+        self._arbitrate_chunk = arbitrate_chunk
         if mesh is not None:
             self._ex_vars = jax.device_put(extractor_vars, mesh_lib.replicate(mesh))
             self._cl_vars = jax.device_put(classifier_vars, mesh_lib.replicate(mesh))
@@ -731,7 +765,11 @@ class Engine:
         # buffers D2H dominates B=1 time
         ex_vars, cl_vars = self._ex_vars, self._cl_vars
         lite_fn = process_packed_fn(
-            extractor, classifier, classifier_outputs_probabilities, self._refine
+            extractor,
+            classifier,
+            classifier_outputs_probabilities,
+            self._refine,
+            self._arbitrate_chunk,
         )
         self._jitted_lite_packed = jax.jit(
             lambda c, g, t: {
@@ -775,7 +813,11 @@ class Engine:
     def _packed_program(self) -> Any:
         if self._jitted_packed is None:
             fn = process_packed_fn(
-                self._extractor, self._classifier, self._cls_probs_flag, self._refine
+                self._extractor,
+                self._classifier,
+                self._cls_probs_flag,
+                self._refine,
+                self._arbitrate_chunk,
             )
             ex_vars, cl_vars = self._ex_vars, self._cl_vars
             self._jitted_packed = jax.jit(lambda c, g, t: fn(ex_vars, cl_vars, c, g, t))
@@ -791,7 +833,11 @@ class Engine:
     def _yuv_program(self) -> Any:
         if self._jitted_yuv is None:
             fn = process_yuv_fn(
-                self._extractor, self._classifier, self._cls_probs_flag, self._refine
+                self._extractor,
+                self._classifier,
+                self._cls_probs_flag,
+                self._refine,
+                self._arbitrate_chunk,
             )
             ex_vars, cl_vars = self._ex_vars, self._cl_vars
             self._jitted_yuv = jax.jit(lambda y, b, r, t: fn(ex_vars, cl_vars, y, b, r, t))
@@ -813,7 +859,11 @@ class Engine:
     def _yuv444_program(self) -> Any:
         if self._jitted_yuv444 is None:
             fn = process_yuv444_fn(
-                self._extractor, self._classifier, self._cls_probs_flag, self._refine
+                self._extractor,
+                self._classifier,
+                self._cls_probs_flag,
+                self._refine,
+                self._arbitrate_chunk,
             )
             ex_vars, cl_vars = self._ex_vars, self._cl_vars
             self._jitted_yuv444 = jax.jit(

@@ -227,3 +227,36 @@ def test_arbitrate_chunked_matches_unchunked(monkeypatch) -> None:
         got.quadrangle.astype(np.float64), ref.quadrangle.astype(np.float64), atol=1e-3
     )
     np.testing.assert_array_equal(got.board_found, ref.board_found)
+
+
+def test_arbitrate_chunk_scales_with_mesh(monkeypatch) -> None:
+    """The arbitrate HBM bound is PER DEVICE: on a batch-sharded mesh the
+    chunk threshold must scale by mesh size, or B=1024 on 8 chips (128
+    boards/device — fine for HBM) would chunk into a lax.scan that
+    serializes the data-parallel tail and forces resharding (advisor r4
+    medium).  Correctness of the chunked tail ON a cross-process mesh is
+    executed by tests/test_mesh_distributed.py's arbitrate parity test."""
+    import chessvision_tpu.engine as engine_mod
+    from chessvision_tpu import models
+    from chessvision_tpu.parallel.mesh import create_mesh
+
+    cl, cl_spec = models.create_classifier("yolo", dtype=jnp.float32, width=8)
+    cl_vars = cl.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+    ex, _ = models.create_extractor("yolo", dtype=jnp.float32, width=8)
+    ex_vars = ex.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+
+    def make(mesh=None, **kw) -> Engine:
+        return Engine(
+            ex, ex_vars, cl, cl_vars,
+            classifier_outputs_probabilities=cl_spec.outputs_probabilities,
+            mesh=mesh, **kw,
+        )
+
+    assert make()._arbitrate_chunk == engine_mod._ARBITRATE_CHUNK
+    mesh = create_mesh()
+    assert make(mesh=mesh)._arbitrate_chunk == engine_mod._ARBITRATE_CHUNK * mesh.size
+    # explicit arg and env override take precedence (for hardware sweeps)
+    assert make(mesh=mesh, arbitrate_chunk=2)._arbitrate_chunk == 2
+    monkeypatch.setenv("CVTPU_ARBITRATE_CHUNK", "256")
+    assert make(mesh=mesh)._arbitrate_chunk == 256 * mesh.size
+    assert make()._arbitrate_chunk == 256
