@@ -208,7 +208,8 @@ def main() -> None:
     # on DEVICE so no extra link traffic.  If a future program change makes
     # the big batch exceed HBM again, fall back by halves instead of dying
     # — the driver runs this unattended.
-    cbsz = bsz if args.quick else bsz * 8
+    cbsz_attempted = bsz if args.quick else bsz * 8
+    cbsz = cbsz_attempted
     compute_boards_per_sec = None
     compute_err = None
     while True:
@@ -226,7 +227,11 @@ def main() -> None:
             # HBM for the rest of the process (measured round 4), so the
             # halving fallback is best-effort; on total failure the e2e
             # numbers above still go out on the required JSON line.
-            if cbsz <= bsz:
+            # Only a genuine OOM justifies halving — a transient relay
+            # error mid-timing must not silently shrink the measured batch
+            # and misattribute the cause (advisor r4).
+            is_oom = "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
+            if not is_oom or cbsz <= bsz:
                 compute_err = f"{type(e).__name__}: {str(e)[:200]}"
                 print(f"compute phase failed: {compute_err}", file=sys.stderr)
                 break
@@ -237,6 +242,13 @@ def main() -> None:
     # raw are all bit-identical).  The approximate yuv420 mode never sets
     # the headline.
     best_e2e = max(boards_per_sec[k] for k in ("packed", "yuv444", "raw_frame"))
+    # round-comparable signals (the raw e2e headline tracks relay weather,
+    # not code — r4 verdict): e2e normalized per MB/s of the SAME-RUN link
+    # probe, and the projection at compute bound (a directly-attached GB/s
+    # multi-core host pipelines pack/upload under compute, so steady-state
+    # e2e ≈ the compute rate there)
+    link_mean = (link_before + link_after) / 2.0
+    per_mbps = best_e2e / link_mean if link_mean > 0 else None
     result = {
         "metric": "boards_per_sec_e2e",
         "value": round(best_e2e, 2),
@@ -248,9 +260,16 @@ def main() -> None:
         "stream_batches_per_cycle": stream_len,
         "serialized_yuv444_boards_per_sec": round(serialized_yuv444, 2),
         "compute_boards_per_sec": (
-            round(compute_boards_per_sec, 2) if compute_boards_per_sec else None
+            round(compute_boards_per_sec, 2) if compute_boards_per_sec is not None else None
         ),
-        "compute_batch_size": cbsz,
+        "compute_batch_size_attempted": cbsz_attempted,
+        "compute_batch_size": cbsz if compute_boards_per_sec is not None else None,
+        "boards_per_sec_per_mbps": (
+            round(per_mbps, 3) if per_mbps is not None else None
+        ),
+        "e2e_projected_at_compute_bound": (
+            round(compute_boards_per_sec, 2) if compute_boards_per_sec is not None else None
+        ),
         "link_mb_per_sec_before_e2e": round(link_before, 1),
         "link_mb_per_sec_after_e2e": round(link_after, 1),
         "p50_latency_ms": round(p50_ms, 2),
@@ -265,8 +284,12 @@ def main() -> None:
     # directly-attached hosts move GB/s and e2e ≈ compute there)
     if compute_err:
         result["compute_error"] = compute_err
-    if compute_boards_per_sec and compute_boards_per_sec > 2 * best_e2e:
-        result["note"] = "host->device link-bound: e2e capped near link_mb_per_sec / paths_kb_per_board"
+    if compute_boards_per_sec is not None and compute_boards_per_sec > 2 * best_e2e:
+        result["note"] = (
+            "host->device link-bound: e2e capped near link_mb_per_sec / "
+            "paths_kb_per_board; boards_per_sec_per_mbps = value / mean(link "
+            "probes), e2e_projected_at_compute_bound = device compute rate"
+        )
     print(json.dumps(result))
 
 
