@@ -30,6 +30,20 @@ logger = logging.getLogger(__name__)
 BOARD_EXTRACTION_PROJECT = "chessvision-segmentation"  # reference config.py:8
 
 
+def guard_verdict(
+    guard: dict[str, float], baseline: dict[str, float], tolerance: float
+) -> bool:
+    """True when a candidate's geometry did NOT regress vs the baseline:
+    mean quadrangle corner error within ``tolerance`` px of the starting
+    model's and no additional val boards lost.  (The anti-overfit stop
+    signal for synthetic fine-tunes — val dice alone passed a model that
+    went 46 → 71 test wrong squares, RESULTS.md round 4/5.)"""
+    return (
+        guard["err"] <= baseline["err"] + tolerance
+        and guard["lost"] <= baseline["lost"]
+    )
+
+
 def train_model(
     *,
     epochs: int = 20,
@@ -57,6 +71,8 @@ def train_model(
     ema_decay: float = 0.0,
     extra_data: list[str] | None = None,
     extra_weight: float = 1.0,
+    guard_quad: bool = False,
+    guard_tolerance: float = 0.75,
 ) -> tuple[Any, str]:
     import jax
     import jax.numpy as jnp
@@ -224,6 +240,75 @@ def train_model(
             total += real
         return float(np.sum(scores) / total)
 
+    # ---- geometry guard (anti-overfit protocol for synthetic fine-tunes) ----
+    # Val dice is blind to the failure mode that matters downstream: a mask
+    # that bleeds a few pixels past the board edge shifts the extracted
+    # quadrangle by part of a square and mis-centers every classifier crop
+    # (measured round 4: a synthetic fine-tune hit a val-dice RECORD of
+    # 0.9878 while test wrong squares went 46 → 71 — dice up, geometry
+    # ruined).  The guard tracks the edge-sensitive quantity directly:
+    # quadrangle corner error of the candidate model's masks vs the
+    # ground-truth masks' quads on the REAL val boards, and refuses to
+    # checkpoint a dice "improvement" whose corner error regressed beyond
+    # ``guard_tolerance`` px of the resumed baseline (or loses a board the
+    # GT quad finds).  (The inspect→fix-data→retrain loop's missing stop
+    # signal; reference analogue: none — 3LC inspection is manual,
+    # reference train_unet.py:186-196.)
+    gt_quads = gt_found = None
+    run_guard = None
+    guard_baseline = {"err": float("inf"), "lost": n_val}
+    if guard_quad:
+        from chessvision_tpu.ops.quad import find_quadrangle_batch
+
+        guard_bs = min(32, max(8, batch_size))
+
+        @jax.jit
+        def _quad_step(state: TrainState, images: jnp.ndarray):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            logits = state.apply_fn(variables, images)[..., 0].astype(jnp.float32)
+            return find_quadrangle_batch(jax.nn.sigmoid(logits), jnp.float32(threshold))
+
+        def _mask_quads() -> tuple[np.ndarray, np.ndarray]:
+            from chessvision_tpu.parallel.mesh import host_gather
+
+            quads, founds = [], []
+            for idx in data_lib.batches(n_val, guard_bs, drop_last=False):
+                idx, real = data_lib.pad_indices(idx, guard_bs)
+                masks = jnp.asarray(data.val_masks[idx], jnp.float32)
+                q, f = find_quadrangle_batch(masks, jnp.float32(0.5))
+                q, f = host_gather(None, (q, f))
+                quads.append(q[:real])
+                founds.append(f[:real])
+            return np.concatenate(quads), np.concatenate(founds)
+
+        gt_quads, gt_found = _mask_quads()
+        logger.info("Quad guard: %d/%d val boards have a GT quadrangle", int(gt_found.sum()), n_val)
+
+        def run_guard(state: TrainState) -> dict[str, float]:
+            """Mean corner L2 (px at 256²) vs GT quads + boards lost."""
+            from chessvision_tpu.parallel.mesh import host_gather
+
+            errs: list[float] = []
+            lost = 0
+            for idx in data_lib.batches(n_val, guard_bs, drop_last=False):
+                idx, real = data_lib.pad_indices(idx, guard_bs)
+                imgs = make_global_batch(mesh, data.val_images[idx].astype(np.float32) / 255.0)
+                q, f = host_gather(mesh, _quad_step(state, imgs))
+                q, f = q[:real], f[:real]
+                sel = gt_found[idx[:real]]
+                lost += int(np.sum(sel & ~f))
+                ok = sel & f
+                if ok.any():
+                    d = np.linalg.norm(q[ok] - gt_quads[idx[:real]][ok], axis=-1)
+                    errs.extend(np.mean(d, axis=-1).tolist())
+            return {"err": float(np.mean(errs)) if errs else float("inf"), "lost": lost}
+
+        guard_baseline = run_guard(state)
+        logger.info(
+            "Quad guard baseline: corner err %.3f px, %d boards lost",
+            guard_baseline["err"], guard_baseline["lost"],
+        )
+
     collection_epochs = list(range(collection_frequency, epochs + 1, collection_frequency))
     if epochs not in collection_epochs:
         collection_epochs.append(epochs)
@@ -330,7 +415,20 @@ def train_model(
                 run.log({"val_dice": val_score, "step": global_step, "lr": current_lr})
                 logger.info("epoch %d step %d val_dice %.4f", epoch, global_step, val_score)
 
-        if val_score > best_val_score:
+        guard_ok = True
+        if run_guard is not None and val_score > best_val_score:
+            g = run_guard(eval_view(state))
+            guard_ok = guard_verdict(g, guard_baseline, guard_tolerance)
+            run.log({"guard_corner_err": g["err"], "guard_lost": g["lost"], "epoch": epoch})
+            if not guard_ok:
+                logger.warning(
+                    "Guard VETO at epoch %d: dice %.4f would be a record but corner "
+                    "err %.3f px (baseline %.3f + tol %.2f) / lost %d (baseline %d) "
+                    "regressed — checkpoint NOT saved",
+                    epoch, val_score, g["err"], guard_baseline["err"],
+                    guard_tolerance, g["lost"], guard_baseline["lost"],
+                )
+        if val_score > best_val_score and guard_ok:
             best_val_score = val_score
             patience_counter = 0
             # raw params stay paired with opt_state (a consistent resume
@@ -428,6 +526,16 @@ def get_args() -> argparse.Namespace:
         "--extra-weight", type=float, default=1.0,
         help="relative sampling weight of --extra-data examples",
     )
+    parser.add_argument(
+        "--guard-quad", action="store_true",
+        help="geometry guard: refuse checkpoints whose val quadrangle corner "
+        "error regresses vs the starting model (anti-overfit protocol for "
+        "synthetic fine-tunes; see RESULTS.md round 5)",
+    )
+    parser.add_argument(
+        "--guard-tolerance", type=float, default=0.75,
+        help="allowed mean corner-error regression in px (256² mask space)",
+    )
     parser.add_argument("--promote", action="store_true", help="copy best checkpoint to weights/")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="multi-host: jax.distributed coordinator host:port")
@@ -464,6 +572,8 @@ def main() -> None:
         ema_decay=args.ema_decay,
         extra_data=args.extra_data,
         extra_weight=args.extra_weight,
+        guard_quad=args.guard_quad,
+        guard_tolerance=args.guard_tolerance,
     )
     import jax
 
