@@ -142,6 +142,11 @@ def main() -> int:
     # ---- aggregate error counts per arbitration variant over the set ----
     margins = [0.0, 0.001, 0.002, 0.005, 0.01]
     taus = [0.001, 0.002, 0.005, 0.01, 0.02]
+    # gap quantization before the sigmoid (τ pinned at the shipping 0.01):
+    # buckets coarser than the ±3e-3 cross-platform wobble make w identical
+    # on both backends for boards that land in the same bucket — the r4
+    # verdict's bounded attempt to tighten the 35/38 platform band
+    quants = [0.002, 0.004, 0.008]
     counts = {
         "original": 0,
         "detect": 0,
@@ -149,6 +154,7 @@ def main() -> int:
         "oracle_board": 0,
         **{f"board_margin_{m}": 0 for m in margins},
         **{f"blend_tau_{t}": 0 for t in taus},
+        **{f"blend_quant_{q}": 0 for q in quants},
     }
     near_ties = []
     dump: dict[str, dict] = {}
@@ -171,6 +177,12 @@ def main() -> int:
             fen_b = fen_of(w * r["p1"] + (1.0 - w) * r["p0"])
             counts[f"blend_tau_{t}"] += errors_of(fen_b, true_fen)
             dump[name][f"fen_blend_{t}"] = fen_b
+        for q in quants:
+            gq = np.round(gap / q) * q
+            w = 1.0 / (1.0 + np.exp(-gq / 0.01))
+            fen_q = fen_of(w * r["p1"] + (1.0 - w) * r["p0"])
+            counts[f"blend_quant_{q}"] += errors_of(fen_q, true_fen)
+            dump[name][f"fen_quant_{q}"] = fen_q
         if abs(gap) < 0.005 and e0 != e1:
             near_ties.append({"image": name[:8], "gap": round(gap, 5), "e0": e0, "e1": e1})
     out_path = os.getenv("CVTPU_DEBUG_DUMP")

@@ -51,7 +51,13 @@ def main() -> None:
     ap.add_argument("--unet-step-ms", type=float, default=74.1, help="B=32 TPU ms (RESULTS.md)")
     ap.add_argument("--cls-step-ms", type=float, default=7.4, help="B=256 TPU ms (RESULTS.md)")
     ap.add_argument(
-        "--compute-boards-per-sec", type=float, default=1003.7, help="B=1024 device-resident e2e"
+        "--compute-boards-per-sec", type=float, default=829.7,
+        help="B=1024 device-resident e2e of the SHIPPING (arbitrate) program "
+        "(BENCH_r04; refresh from the latest bench/sweep)",
+    )
+    ap.add_argument(
+        "--refine", default=None,
+        help="engine refine mode to account (default: the shipping default)",
     )
     ap.add_argument("--warp-ms-128", type=float, default=55.0, help="warp ms per 128 boards")
     args = ap.parse_args()
@@ -110,7 +116,7 @@ def main() -> None:
     # ---- fused inference pipeline (packed path = the compute benchmark's
     # program): flops/board from a small lowering
     b_ref_inf = 4
-    engine = eng_mod.Engine(unet, unet_vars, resnet, cls_vars)
+    engine = eng_mod.Engine(unet, unet_vars, resnet, cls_vars, refine_grid=args.refine)
     comp = np.zeros((b_ref_inf, 256, 256, 3), np.uint8)
     gray = np.zeros((b_ref_inf, 512, 512), np.uint8)
     pipe_flops_per_board = (
@@ -162,13 +168,18 @@ def main() -> None:
             f"{stage:<46} {flops / 1e9:>9.2f} {ms:>8.2f} {achieved / 1e12:>9.2f} "
             f"{pct:>6.1f} ({peak_name})"
         )
+    # arbitrate classifies BOTH geometries (original + grid-refined), so the
+    # classifier's forward flops appear twice in the shipping program
+    n_cls = 2 if engine._refine == "arbitrate" else 1
+    cls_total = cls_fwd_per_board * n_cls
     print(
-        f"\nstage attribution of pipeline flops/board: UNet fwd "
+        f"\nstage attribution of pipeline flops/board ({engine._refine} mode): UNet fwd "
         f"{unet_fwd_per_board / 1e9:.2f} GFLOP ({100 * unet_fwd_per_board / pipe_flops_per_board:.0f}%), "
-        f"classifier fwd (64 squares) {cls_fwd_per_board / 1e9:.2f} GFLOP "
-        f"({100 * cls_fwd_per_board / pipe_flops_per_board:.0f}%), "
-        f"rest (resize/quad/warp/threshold) "
-        f"{(pipe_flops_per_board - unet_fwd_per_board - cls_fwd_per_board) / 1e9:.2f} GFLOP"
+        f"classifier fwd (64 squares × {n_cls} pass{'es' if n_cls > 1 else ''}) "
+        f"{cls_total / 1e9:.2f} GFLOP "
+        f"({100 * cls_total / pipe_flops_per_board:.0f}%), "
+        f"rest (resize/quad/warp/gridfix/threshold) "
+        f"{(pipe_flops_per_board - unet_fwd_per_board - cls_total) / 1e9:.2f} GFLOP"
     )
 
 
