@@ -120,6 +120,20 @@ def strip_checkpoint(path: str | Path, out_path: str | Path | None = None) -> Pa
     return out
 
 
+def load_metadata(path: str | Path) -> Metadata:
+    """Read only a checkpoint's metadata dict (empty if absent).  For .npz
+    this touches just the metadata member — npz loads lazily per array —
+    so callers can inspect training_config (architecture, epoch) without
+    materializing the weights."""
+    path = Path(path)
+    if path.suffix in (".pth", ".pt"):
+        return load_torch_checkpoint(path)[1]
+    with np.load(path, allow_pickle=False) as data:
+        if _META_KEY not in data.files:
+            return {}
+        return json.loads(bytes(data[_META_KEY].tolist()).decode("utf-8"))
+
+
 def load_checkpoint(path: str | Path) -> tuple[VariableTree, Metadata]:
     """Load a checkpoint.  Dispatches on extension: .npz native, .pth/.pt
     torch (reference formats)."""

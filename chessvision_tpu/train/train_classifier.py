@@ -123,6 +123,22 @@ def train_model(
         mesh = create_mesh()
         batch_size -= batch_size % mesh.size
 
+    if resume:
+        # adopt the checkpoint's architecture — resumed params fit exactly
+        # one (model_id, width); mismatched CLI/default values would only
+        # crash at init with a shape error (see train_unet.train_model)
+        from chessvision_tpu.checkpoint import load_metadata
+
+        tc = (load_metadata(resume) or {}).get("training_config", {})
+        for field, current in (("model_id", model_id), ("width", width)):
+            if field in tc and tc[field] != current:
+                logger.warning(
+                    "resume: adopting %s=%r from checkpoint (requested %r)",
+                    field, tc[field], current,
+                )
+        model_id = tc.get("model_id", model_id)
+        width = tc.get("width", width)
+
     kwargs = {"width": width} if width else {}
     model, spec = models.create_classifier(model_id, dtype=model_dtype, **kwargs)
     rng_np = np.random.default_rng(seed)

@@ -138,6 +138,26 @@ def train_model(
         batch_size = max(batch_size, mesh.size)
         batch_size -= batch_size % mesh.size
 
+    if resume:
+        # Adopt the checkpoint's architecture: resumed params fit exactly
+        # one (model_id, base, bilinear) triple, so CLI/default values that
+        # disagree would only crash at init with a shape error (measured:
+        # fine-tuning the promoted base-32 extractor under the base-64
+        # default).  The caller's training hyperparams (lr, optimizer,
+        # epochs) still apply — only the architecture comes from the file.
+        from chessvision_tpu.checkpoint import load_metadata
+
+        tc = (load_metadata(resume) or {}).get("training_config", {})
+        for field, current in (("model_id", model_id), ("base", base), ("bilinear", bilinear)):
+            if field in tc and tc[field] != current:
+                logger.warning(
+                    "resume: adopting %s=%r from checkpoint (requested %r)",
+                    field, tc[field], current,
+                )
+        model_id = tc.get("model_id", model_id)
+        base = tc.get("base", base)
+        bilinear = tc.get("bilinear", bilinear)
+
     if model_id == "unet":
         model = models.UNet(bilinear=bilinear, base=base, dtype=model_dtype)
     else:

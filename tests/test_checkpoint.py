@@ -116,3 +116,24 @@ def test_metadata_driven_model_reconstruction(tmp_path, monkeypatch) -> None:
         jnp.zeros((1, 64, 64, 3)),
     )
     assert y.shape == (1, 64, 64, 1)
+
+
+def test_load_metadata_only(small_state) -> None:
+    """load_metadata returns the metadata dict without the weights (and {}
+    when a checkpoint predates metadata) — the trainers use it to adopt a
+    resumed checkpoint's architecture (base/width/model_id) so a
+    mismatched CLI default cannot crash init with a shape error."""
+    from chessvision_tpu.checkpoint import load_metadata
+
+    model, variables, opt_state, tmp_path = small_state
+    path = tmp_path / "ck.npz"
+    save_checkpoint(
+        path, variables, {"epoch": 3, "training_config": {"model_id": "yolo", "width": 8}}
+    )
+    meta = load_metadata(path)
+    assert meta["epoch"] == 3
+    assert meta["training_config"] == {"model_id": "yolo", "width": 8}
+
+    bare = tmp_path / "bare.npz"
+    np.savez(bare, **{"params/w": np.zeros(2, np.float32)})
+    assert load_metadata(bare) == {}
