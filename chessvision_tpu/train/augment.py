@@ -126,11 +126,45 @@ def _gaussian_blur3_batch(key: jax.Array, img: jnp.ndarray, apply: jnp.ndarray) 
     return img
 
 
-@jax.jit
-def augment_segmentation_batch(key: jax.Array, images: jnp.ndarray, masks: jnp.ndarray):
+def _illum_gradient_batch(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
+    """Page-level illumination gradient (p=0.3 per sample): multiply by a
+    linear ramp 1 → (1 − s), s ~ U(0.25, 0.65), along one of the four
+    axis directions.  Models the book-gutter / page-shadow dimming that
+    under-segments the dark files of printed boards (test board 006bab7f
+    — 58% of the round-4 residual errors).  Applied to the REAL photos on
+    device, so the model learns illumination invariance without the
+    synthetic-domain shift that overfit the round-4/5 print fine-tunes
+    (RESULTS.md).  No reference analogue (torchvision ColorJitter is
+    spatially uniform, reference train_unet.py:68-91)."""
+    b, h, w = img.shape[0], img.shape[1], img.shape[2]
+    kp, ks, kd = jax.random.split(key, 3)
+    apply = jax.random.uniform(kp, (b,)) < 0.3
+    s = jax.random.uniform(ks, (b,), minval=0.25, maxval=0.65)
+    s = jnp.where(apply, s, 0.0)[:, None, None]
+    direction = jax.random.randint(kd, (b,), 0, 4)
+    tx = jnp.linspace(0.0, 1.0, w)[None, None, :] * jnp.ones((1, h, 1))
+    ty = jnp.linspace(0.0, 1.0, h)[None, :, None] * jnp.ones((1, 1, w))
+    t = jnp.select(
+        [direction[:, None, None] == k for k in range(4)],
+        [tx, 1.0 - tx, ty, 1.0 - ty],
+    )
+    return img * (1.0 - s * t)[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("illum_gradient",))
+def augment_segmentation_batch(
+    key: jax.Array,
+    images: jnp.ndarray,
+    masks: jnp.ndarray,
+    illum_gradient: bool = False,
+):
     """(B,256,256,3) f32 in [0,1], (B,256,256) f32 → augmented pair."""
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     k1, k2, k3, k4, kr, kj, kb = jax.random.split(key, 7)
+    if illum_gradient:
+        # derived key (not an 8-way split) so enabling the gradient leaves
+        # every pre-existing augmentation's stream untouched at a seed
+        images = _illum_gradient_batch(jax.random.fold_in(k1, 1), images)
 
     do_flip = jax.random.uniform(k1, (b,)) > 0.5
     flipped = images[:, :, ::-1]

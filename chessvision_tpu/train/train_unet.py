@@ -61,6 +61,7 @@ def train_model(
     threshold: float = 0.5,
     seed: int = 42,
     augment: bool = True,
+    aug_illum_gradient: bool = False,
     bilinear: bool = False,
     base: int = 64,
     model_dtype: Any = None,
@@ -412,7 +413,9 @@ def train_model(
             msks = make_global_batch(mesh, np.asarray(data.train_masks[idx], np.float32))
             if augment:
                 key, sub = jax.random.split(key)
-                imgs, msks = augment_segmentation_batch(sub, imgs, msks)
+                imgs, msks = augment_segmentation_batch(
+                    sub, imgs, msks, illum_gradient=aug_illum_gradient
+                )
             state, metrics = train_step(state, imgs, msks)
             if ema_params is not None:
                 ema_params = ema_update(ema_params, state.params)
@@ -534,6 +537,11 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--ema-decay", type=float, default=0.0, help="validate/checkpoint an EMA of params (0 = off)")
     parser.add_argument("--base", type=int, default=64)
     parser.add_argument("--no-augment", action="store_true", default=False)
+    parser.add_argument(
+        "--aug-illum-gradient", action="store_true",
+        help="page-gutter illumination-gradient augmentation on real photos "
+        "(train.augment._illum_gradient_batch; RESULTS.md round 5)",
+    )
     parser.add_argument("--model-id", type=str, default="unet", help="unet or yolo")
     parser.add_argument("--optimizer", type=str, default="rmsprop", choices=["rmsprop", "adam"])
     parser.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
@@ -584,6 +592,7 @@ def main() -> None:
         threshold=args.threshold,
         seed=args.seed,
         augment=not args.no_augment,
+        aug_illum_gradient=args.aug_illum_gradient,
         bilinear=args.bilinear,
         base=args.base,
         model_id=args.model_id,

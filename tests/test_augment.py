@@ -120,3 +120,34 @@ def test_classification_cutout_erases_and_preserves_shape() -> None:
     )
     changed = np.asarray(jnp.any(jnp.abs(with_cut - without) > 1e-6, axis=(1, 2, 3)))
     assert changed.any() and not changed.all()
+
+
+def test_illum_gradient_contracts() -> None:
+    """The page-gutter illumination gradient (round 5): multiplicative
+    ≤ 1 ramp on images only, masks untouched, default-off leaves the
+    pre-existing random streams unchanged at a given seed."""
+    import numpy as np
+
+    from chessvision_tpu.train.augment import _illum_gradient_batch
+
+    key = jax.random.PRNGKey(5)
+    imgs = jax.random.uniform(jax.random.fold_in(key, 1), (8, 32, 32, 3))
+    msk = (jax.random.uniform(jax.random.fold_in(key, 2), (8, 32, 32)) > 0.5).astype(
+        jnp.float32
+    )
+
+    out = _illum_gradient_batch(key, imgs)
+    assert out.shape == imgs.shape
+    # multiplicative dimming only: never brightens, never goes negative
+    assert float(jnp.max(out - imgs)) <= 1e-6
+    assert float(jnp.min(out)) >= 0.0
+    # some sample in a batch of 8 is dimmed (p=0.3 each, seed-checked)
+    assert float(jnp.max(jnp.abs(out - imgs))) > 0.01
+
+    # flag off (default) == previous behavior, bit for bit
+    a_img, a_msk = augment_segmentation_batch(key, imgs, msk)
+    b_img, b_msk = augment_segmentation_batch(key, imgs, msk, illum_gradient=False)
+    np.testing.assert_array_equal(np.asarray(a_img), np.asarray(b_img))
+    # masks are never touched by the (photometric) gradient
+    c_img, c_msk = augment_segmentation_batch(key, imgs, msk, illum_gradient=True)
+    np.testing.assert_array_equal(np.asarray(a_msk), np.asarray(c_msk))
