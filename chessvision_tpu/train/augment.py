@@ -186,21 +186,37 @@ def augment_segmentation_batch(
     return images, masks
 
 
-@functools.partial(jax.jit, static_argnames=("photometric", "cutout"))
+@functools.partial(jax.jit, static_argnames=("photometric", "cutout", "dim"))
 def augment_classification_batch(
-    key: jax.Array, images: jnp.ndarray, photometric: bool = True, cutout: bool = False
+    key: jax.Array,
+    images: jnp.ndarray,
+    photometric: bool = True,
+    cutout: bool = False,
+    dim: bool = False,
 ) -> jnp.ndarray:
     """(B,64,64,1) f32 in [0,1]: RandomAffine(translate ±10%, scale
     0.95–1.05) then RandomRotation(±15°) as one composed batched warp
     (the reference's transform set, train_classifier.py:34-43), plus —
     beyond the reference — per-sample photometric jitter (brightness/
     contrast, p=0.5 blur) to close the clean-training-square vs
-    warped-test-board domain gap."""
+    warped-test-board domain gap.
+
+    ``dim``: heavy per-square dimming, factor ~ U(0.3, 0.75) at p=0.25 —
+    squares inside a page gutter / shadow arrive at ~0.35× brightness,
+    far below the standard jitter's 0.75× floor; the round-5 error
+    analysis reads the residual gutter-board confusions as pieces→empty
+    on exactly such squares (RESULTS.md round 5)."""
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     kt, ks, kr, kb, kc, kg, kp = jax.random.split(key, 7)
     # derived (not split(key, 8)) so enabling cutout leaves every
     # pre-existing augmentation's random stream untouched at a given seed
     kcut = jax.random.fold_in(kp, 1)
+    if dim:
+        kd1, kd2 = jax.random.split(jax.random.fold_in(kp, 2))
+        do_dim = jax.random.uniform(kd1, (b,)) < 0.25
+        factor = jax.random.uniform(kd2, (b,), minval=0.3, maxval=0.75)
+        factor = jnp.where(do_dim, factor, 1.0)[:, None, None, None]
+        images = images * factor
     txy = jax.random.uniform(kt, (b, 2), minval=-0.1, maxval=0.1) * w
     scale = jax.random.uniform(ks, (b,), minval=0.95, maxval=1.05)
     angles = jax.random.uniform(kr, (b,), minval=-15.0, maxval=15.0)

@@ -58,6 +58,7 @@ def train_model(
     ema_decay: float = 0.0,
     schedule_kind: str = "step",
     cutout: bool = False,
+    aug_dim: bool = False,
     extra_data: list[str] | None = None,
     extra_weight: float = 1.0,
 ) -> tuple[Any, str]:
@@ -315,7 +316,7 @@ def train_model(
             )
             if augment:
                 key, sub = jax.random.split(key)
-                imgs = augment_classification_batch(sub, imgs, cutout=cutout)
+                imgs = augment_classification_batch(sub, imgs, cutout=cutout, dim=aug_dim)
             labs = make_global_batch(mesh, np.asarray(data.train_labels[idx]))
             state, metrics = train_step(state, imgs, labs)
             if ema_params is not None:
@@ -430,6 +431,12 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--schedule", choices=("step", "cosine"), default="step", help="LR schedule: reference StepLR or warmup-cosine")
     parser.add_argument("--cutout", action="store_true", help="random-erasing augmentation (occlusion robustness)")
     parser.add_argument(
+        "--aug-dim", action="store_true",
+        help="heavy per-square dimming aug, U(0.3,0.75) at p=0.25 — gutter/"
+        "shadow squares sit below the standard 0.75x jitter floor "
+        "(RESULTS.md round 5)",
+    )
+    parser.add_argument(
         "--extra-data", action="append", default=None,
         help="extra ImageFolder of 64-px squares appended to the TRAIN split "
         "(repeatable); e.g. scripts/mine_warped_squares.py output",
@@ -473,6 +480,7 @@ def main() -> None:
         ema_decay=args.ema_decay,
         schedule_kind=args.schedule,
         cutout=args.cutout,
+        aug_dim=args.aug_dim,
         extra_data=args.extra_data,
         extra_weight=args.extra_weight,
     )

@@ -151,3 +151,21 @@ def test_illum_gradient_contracts() -> None:
     # masks are never touched by the (photometric) gradient
     c_img, c_msk = augment_segmentation_batch(key, imgs, msk, illum_gradient=True)
     np.testing.assert_array_equal(np.asarray(a_msk), np.asarray(c_msk))
+
+
+def test_classifier_dim_aug_contracts() -> None:
+    """Heavy square dimming (round 5): multiplicative-only on crops,
+    default-off leaves the pre-existing streams bit-identical."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(9)
+    crops = jax.random.uniform(jax.random.fold_in(key, 1), (16, 64, 64, 1))
+    a = augment_classification_batch(key, crops)
+    b = augment_classification_batch(key, crops, dim=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = augment_classification_batch(key, crops, dim=True)
+    assert c.shape == crops.shape
+    # dimming happens before the warp/jitter, so compare the dim stage
+    # directly: some crops in a batch of 16 are dimmed at p=0.25
+    assert float(jnp.max(jnp.abs(np.asarray(c) - np.asarray(a)))) > 0.01
+    assert float(jnp.min(c)) >= 0.0
