@@ -14,7 +14,7 @@ lives, reference workflow DATA_COLLECTION.md):
   2. cut the 64 engine-warped squares per found board (same rank-major
      order as ops/squares.py),
   3. keep squares the current classifier labels with confidence ≥
-     --min-conf (default 0.99; calibrate against the engine's measured
+     --min-conf (default 0.955; calibrate against the engine's measured
      max-prob distribution — the round-4 mining run used 0.955 because
      the then-bf16 softmax capped confident predictions near 0.97,
      since fixed in engine.py by computing softmax in f32),
@@ -46,7 +46,13 @@ def dir_name(label: str) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
-    ap.add_argument("--min-conf", type=float, default=0.99)
+    # Under the shipping arbitrate engine the probabilities are a soft
+    # BLEND of two classifier passes (w ~ 0.5 at near-identity grid
+    # corrections), which caps per-square max-prob at ~0.98 (measured
+    # round 5: median 0.95, p99 0.968, ZERO squares over 0.99) — a 0.99
+    # threshold mines nothing.  0.955 keeps the top ~25% most-confident
+    # squares, matching the round-4 mining yield.
+    ap.add_argument("--min-conf", type=float, default=0.955)
     ap.add_argument("--max-per-class", type=int, default=1500)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--seed", type=int, default=5)
