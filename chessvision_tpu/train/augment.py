@@ -186,13 +186,14 @@ def augment_segmentation_batch(
     return images, masks
 
 
-@functools.partial(jax.jit, static_argnames=("photometric", "cutout", "dim"))
+@functools.partial(jax.jit, static_argnames=("photometric", "cutout", "dim", "fade"))
 def augment_classification_batch(
     key: jax.Array,
     images: jnp.ndarray,
     photometric: bool = True,
     cutout: bool = False,
     dim: bool = False,
+    fade: bool = False,
 ) -> jnp.ndarray:
     """(B,64,64,1) f32 in [0,1]: RandomAffine(translate ±10%, scale
     0.95–1.05) then RandomRotation(±15°) as one composed batched warp
@@ -205,7 +206,16 @@ def augment_classification_batch(
     squares inside a page gutter / shadow arrive at ~0.35× brightness,
     far below the standard jitter's 0.75× floor; the round-5 error
     analysis reads the residual gutter-board confusions as pieces→empty
-    on exactly such squares (RESULTS.md round 5)."""
+    on exactly such squares (RESULTS.md round 5).
+
+    ``fade``: contrast fade toward paper white at p=0.25 — the measured
+    transform of book-gutter defocus (test board 006bab7f ranks 1–2:
+    crop std collapses 25–39 → 10–20 while the MEAN stays normal and
+    darks lift p5 ≈ 46 → 90, i.e. pieces become faint outlines on a
+    light ground).  x → L − c·(L − x) with residual contrast
+    c ~ U(0.3, 0.75) and white anchor L ~ U(0.55, 0.95); brightness
+    dimming (``dim``) cannot emulate this — it moves the mean, not the
+    contrast."""
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
     kt, ks, kr, kb, kc, kg, kp = jax.random.split(key, 7)
     # derived (not split(key, 8)) so enabling cutout leaves every
@@ -217,6 +227,15 @@ def augment_classification_batch(
         factor = jax.random.uniform(kd2, (b,), minval=0.3, maxval=0.75)
         factor = jnp.where(do_dim, factor, 1.0)[:, None, None, None]
         images = images * factor
+    if fade:
+        kf1, kf2, kf3 = jax.random.split(jax.random.fold_in(kp, 3), 3)
+        do_fade = jax.random.uniform(kf1, (b,)) < 0.25
+        c = jax.random.uniform(kf2, (b,), minval=0.3, maxval=0.75)
+        c = jnp.where(do_fade, c, 1.0)[:, None, None, None]
+        paper = jax.random.uniform(kf3, (b,), minval=0.55, maxval=0.95)
+        paper_b = paper[:, None, None, None]
+        # identity when c = 1 regardless of the anchor; stays in [0, 1]
+        images = paper_b - c * (paper_b - images)
     txy = jax.random.uniform(kt, (b, 2), minval=-0.1, maxval=0.1) * w
     scale = jax.random.uniform(ks, (b,), minval=0.95, maxval=1.05)
     angles = jax.random.uniform(kr, (b,), minval=-15.0, maxval=15.0)

@@ -59,6 +59,7 @@ def train_model(
     schedule_kind: str = "step",
     cutout: bool = False,
     aug_dim: bool = False,
+    aug_fade: bool = False,
     extra_data: list[str] | None = None,
     extra_weight: float = 1.0,
 ) -> tuple[Any, str]:
@@ -316,7 +317,9 @@ def train_model(
             )
             if augment:
                 key, sub = jax.random.split(key)
-                imgs = augment_classification_batch(sub, imgs, cutout=cutout, dim=aug_dim)
+                imgs = augment_classification_batch(
+                    sub, imgs, cutout=cutout, dim=aug_dim, fade=aug_fade
+                )
             labs = make_global_batch(mesh, np.asarray(data.train_labels[idx]))
             state, metrics = train_step(state, imgs, labs)
             if ema_params is not None:
@@ -437,6 +440,12 @@ def get_args() -> argparse.Namespace:
         "(RESULTS.md round 5)",
     )
     parser.add_argument(
+        "--aug-fade", action="store_true",
+        help="contrast-fade-toward-paper-white aug at p=0.25 — the measured "
+        "transform of book-gutter defocus (faint pieces on a light ground; "
+        "crop std 25-39 -> 10-20 with normal mean, RESULTS.md round 5)",
+    )
+    parser.add_argument(
         "--extra-data", action="append", default=None,
         help="extra ImageFolder of 64-px squares appended to the TRAIN split "
         "(repeatable); e.g. scripts/mine_warped_squares.py output",
@@ -481,6 +490,7 @@ def main() -> None:
         schedule_kind=args.schedule,
         cutout=args.cutout,
         aug_dim=args.aug_dim,
+        aug_fade=args.aug_fade,
         extra_data=args.extra_data,
         extra_weight=args.extra_weight,
     )

@@ -169,3 +169,32 @@ def test_classifier_dim_aug_contracts() -> None:
     # directly: some crops in a batch of 16 are dimmed at p=0.25
     assert float(jnp.max(jnp.abs(np.asarray(c) - np.asarray(a)))) > 0.01
     assert float(jnp.min(c)) >= 0.0
+
+
+def test_classifier_fade_aug_contracts() -> None:
+    """Contrast fade toward paper white (round 5): collapses std while
+    keeping the mean near the anchor, stays in [0, 1], default-off leaves
+    the pre-existing streams bit-identical."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(11)
+    crops = jax.random.uniform(jax.random.fold_in(key, 1), (16, 64, 64, 1))
+    a = augment_classification_batch(key, crops)
+    b = augment_classification_batch(key, crops, fade=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = augment_classification_batch(key, crops, fade=True, photometric=False)
+    base = augment_classification_batch(key, crops, photometric=False)
+    assert c.shape == crops.shape
+    assert float(jnp.min(c)) >= 0.0 and float(jnp.max(c)) <= 1.0
+    # some crops in a batch of 16 fade at p=0.25, and a faded crop's
+    # contrast shrinks: its std is strictly below its unfaded twin's
+    ca, ba = np.asarray(c), np.asarray(base)
+    changed = np.abs(ca - ba).max(axis=(1, 2, 3)) > 0.01
+    assert changed.any() and not changed.all()
+    # compare contrast over the crop interior — the shared random warp
+    # (same key) zero-fills borders, which would inflate a faded crop's
+    # whole-image std against the lifted interior
+    mid = (slice(None), slice(16, 48), slice(16, 48), slice(None))
+    assert (
+        ca[mid][changed].std(axis=(1, 2, 3)) < ba[mid][changed].std(axis=(1, 2, 3))
+    ).all()
