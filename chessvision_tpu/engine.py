@@ -17,6 +17,7 @@ Only FEN string assembly and the rule-based validation happen on host
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -69,6 +70,20 @@ _ARBITRATE_TAU = 0.01
 # (128) and moderate mesh batches stay unchunked; committed FEN goldens
 # are unaffected by the chunk boundary.
 _ARBITRATE_CHUNK = 128
+
+# Grid-refinement warp margin (px).  In refine != "off" modes the board
+# warps into a (512 + 2m)² canvas with the mask quad mapped to the interior
+# [m, m+512)² — the interior is the nominal board (measured: ≤ 0.036 gray
+# levels from the direct 512² warp on all 38 test boards, 0 pixels moved
+# after uint8 rounding), and the margin ring holds real image context the
+# reference pipeline throws away.  When grid detection finds the true board
+# extending past the nominal edge (offset < 0 or offset + 8·spacing > 512 —
+# a mask quad that undershot the board), the refinement resample reads real
+# pixels from the ring instead of the zero border: test board 16c72614's
+# detected grid spans rows −17..543 and its rank-1 pieces live in the 31 px
+# the 512² canvas amputated (RESULTS.md round 5).  0 disables (round-4
+# geometry).
+_REFINE_MARGIN = int(os.getenv("CVTPU_REFINE_MARGIN", "32"))
 
 
 def process_images_fn(
@@ -181,15 +196,30 @@ def _pipeline_core(
     quad_scaled = scale_quadrangle(quad, float(h), constants.INPUT_SIZE[1])
     safe_quad = jnp.where(found[:, None, None], quad_scaled, jnp.asarray(_DEST))
     ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(safe_quad)
-    boards0 = warp_perspective(gray, ms, constants.BOARD_SIZE)  # pre-flip
 
     if refine == "off":
-        boards_sel = boards0
+        boards_sel = warp_perspective(gray, ms, constants.BOARD_SIZE)  # pre-flip
         quad_out = quad_scaled
         cls_probs = _classify_squares(
             classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards_sel)
         )
     else:
+        # One margin-expanded warp replaces the nominal 512² warp: the
+        # interior slice IS the nominal board (≤ 0.036 gray levels from
+        # the direct warp, identical after uint8 rounding — see
+        # _REFINE_MARGIN), and the ring gives the refinement resample real
+        # pixels when the detected grid extends past the nominal edge.
+        margin = _REFINE_MARGIN
+        if margin:
+            dest_wide = jnp.asarray(_DEST, jnp.float32) + jnp.float32(margin)
+            ms_wide = jax.vmap(lambda q: get_perspective_transform(q, dest_wide))(
+                safe_quad
+            )
+            wide_px = (_BOARD_W + 2 * margin, _BOARD_H + 2 * margin)
+            wide = warp_perspective(gray, ms_wide, wide_px)
+            boards0 = wide[:, margin : margin + _BOARD_H, margin : margin + _BOARD_W]
+        else:
+            wide = boards0 = warp_perspective(gray, ms, constants.BOARD_SIZE)
         # detection runs on the uint8-rounded board: sub-quantum platform
         # numerics (bf16 UNet → marginal mask pixels) can shift the f32
         # board by fractions of a gray level, and rounding first keeps the
@@ -197,7 +227,7 @@ def _pipeline_core(
         rounded = jnp.clip(jnp.floor(boards0 + 0.5), 0, 255)
         corr = gridfix.detect_grid(rounded)  # (B, 4)
         if refine == "detect":
-            boards_sel = gridfix.apply_correction(boards0, corr)
+            boards_sel = gridfix.apply_correction(wide, corr, margin=margin)
             quad_out = gridfix.refined_quadrangle(ms, corr)
             cls_probs = _classify_squares(
                 classifier, classifier_vars, classifier_outputs_probabilities, hflip(boards_sel)
@@ -223,8 +253,11 @@ def _pipeline_core(
             def _arb_chunk(
                 xs: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-                b0, corr_c, ms_c = xs
-                b1 = gridfix.apply_correction(b0, corr_c)
+                wide_c, corr_c, ms_c = xs
+                b0 = wide_c[
+                    :, margin : margin + _BOARD_H, margin : margin + _BOARD_W
+                ]
+                b1 = gridfix.apply_correction(wide_c, corr_c, margin=margin)
                 q1 = gridfix.refined_quadrangle(ms_c, corr_c)
                 p0 = _classify_squares(
                     classifier, classifier_vars, classifier_outputs_probabilities, hflip(b0)
@@ -272,7 +305,7 @@ def _pipeline_core(
                         a = jnp.concatenate([a, fill], axis=0)
                     return a.reshape(n_chunks, chunk, *a.shape[1:])
 
-                xs_r = tuple(_chunked(a) for a in (boards0, corr, ms))
+                xs_r = tuple(_chunked(a) for a in (wide, corr, ms))
                 _, ys = jax.lax.scan(
                     lambda carry, x: (carry, _arb_chunk(x)), None, xs_r
                 )
@@ -280,7 +313,7 @@ def _pipeline_core(
                     y.reshape(padded, *y.shape[2:])[:b] for y in ys
                 )
             else:
-                cls_probs, boards_sel, quad1, use = _arb_chunk((boards0, corr, ms))
+                cls_probs, boards_sel, quad1, use = _arb_chunk((wide, corr, ms))
             quad_out = jnp.where(use[:, None, None], quad1, quad_scaled)
 
     boards_flipped = hflip(boards_sel)
@@ -709,8 +742,6 @@ class Engine:
         refine_grid: str | None = None,
         arbitrate_chunk: int | None = None,
     ) -> None:
-        import os
-
         # grid-refinement mode (ops/gridfix.py): "arbitrate" (default),
         # "detect", or "off"; CVTPU_REFINE overrides for quick A/B runs
         if refine_grid is None:

@@ -123,32 +123,45 @@ def detect_grid(boards: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([osel[:b], osel[b:]], axis=1)  # (B, 4)
 
 
-def _axis_resample_matrix(o: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """(512, 512) bf16 hat-resample matrix R with R[u, j] =
-    hat((o + u·s/64) − j): out = R @ src maps the detected grid onto the
-    ideal one.  ≤ 2 nonzero weights per row (adjacent taps)."""
+def _axis_resample_matrix(
+    o: jnp.ndarray, s: jnp.ndarray, src_size: int = BOARD_SIZE, shift: float = 0.0
+) -> jnp.ndarray:
+    """(512, src_size) bf16 hat-resample matrix R with R[u, j] =
+    hat((shift + o + u·s/64) − j): out = R @ src maps the detected grid
+    onto the ideal one.  ≤ 2 nonzero weights per row (adjacent taps).
+    ``shift``/``src_size`` support a margin-expanded source canvas whose
+    coordinate j = shift + x maps board coordinate x (see engine.py)."""
     u = jnp.arange(BOARD_SIZE, dtype=jnp.float32)
-    pos = o + u * (s / jnp.float32(CELL))
-    j = jnp.arange(BOARD_SIZE, dtype=jnp.float32)
+    pos = jnp.float32(shift) + o + u * (s / jnp.float32(CELL))
+    j = jnp.arange(src_size, dtype=jnp.float32)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - j[None, :]))
     return w.astype(jnp.bfloat16)
 
 
-def apply_correction(boards: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
-    """Resample (B, 512, 512) boards by per-board corrections (B, 4).
+def apply_correction(
+    boards: jnp.ndarray, corr: jnp.ndarray, margin: int = 0
+) -> jnp.ndarray:
+    """Resample (B, 512 + 2·margin, 512 + 2·margin) boards into corrected
+    (B, 512, 512) boards by per-board corrections (B, 4).
 
     Two batched matmuls (x then y): bf16 operands, f32 accumulation —
     each output pixel is a ≤ 4-term sum, so bf16 costs ≤ ~1 gray level
-    and the result is bitwise platform-stable.  Out-of-range positions
-    resample to 0 (same zero border as the warp).
+    and the result is bitwise platform-stable.  ``margin`` > 0 reads a
+    margin-expanded warp canvas whose interior [m, m+512) is the board:
+    detected grids that extend past the nominal board edge (offset < 0,
+    or offset + 8·spacing > 512 — real boards the mask quad undershot)
+    resample real pixels instead of the zero border.  Out-of-range
+    positions still resample to 0.
     """
-    rx = jax.vmap(_axis_resample_matrix)(corr[:, 0], corr[:, 1])  # (B, 512, 512)
-    ry = jax.vmap(_axis_resample_matrix)(corr[:, 2], corr[:, 3])
+    src = BOARD_SIZE + 2 * margin
+    mk = lambda o, s: _axis_resample_matrix(o, s, src_size=src, shift=float(margin))
+    rx = jax.vmap(mk)(corr[:, 0], corr[:, 1])  # (B, 512, src)
+    ry = jax.vmap(mk)(corr[:, 2], corr[:, 3])
     b16 = boards.astype(jnp.bfloat16)
     # x pass: out[b, i, u] = Σ_j board[b, i, j] · rx[b, u, j]
     t = jax.lax.dot_general(
         b16, rx, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (B, 512(i), 512(u))
+    )  # (B, src(i), 512(u))
     # y pass: out[b, v, u] = Σ_i ry[b, v, i] · t[b, i, u]
     out = jax.lax.dot_general(
         ry,

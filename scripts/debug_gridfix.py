@@ -39,6 +39,7 @@ def main() -> int:
 
     from chessvision_tpu import ChessVision, constants
     from chessvision_tpu.chessboard import fen_to_labels, labels_to_fen
+    from chessvision_tpu import engine as engine_mod
     from chessvision_tpu.engine import (
         _DEST,
         _classify_squares,
@@ -85,10 +86,18 @@ def main() -> int:
         ms = jax.vmap(lambda q: get_perspective_transform(q, jnp.asarray(_DEST)))(
             safe_quad
         )
-        boards0 = warp_perspective(gray.astype(jnp.float32), ms, constants.BOARD_SIZE)
+        # margin-expanded warp, mirroring engine._pipeline_core exactly
+        margin = engine_mod._REFINE_MARGIN
+        bw, bh = constants.BOARD_SIZE
+        dest_wide = jnp.asarray(_DEST, jnp.float32) + jnp.float32(margin)
+        ms_wide = jax.vmap(lambda q: get_perspective_transform(q, dest_wide))(safe_quad)
+        wide = warp_perspective(
+            gray.astype(jnp.float32), ms_wide, (bw + 2 * margin, bh + 2 * margin)
+        )
+        boards0 = wide[:, margin : margin + bh, margin : margin + bw]
         rounded = jnp.clip(jnp.floor(boards0 + 0.5), 0, 255)
         corr = gridfix.detect_grid(rounded)
-        boards1 = gridfix.apply_correction(boards0, corr)
+        boards1 = gridfix.apply_correction(wide, corr, margin=margin)
         both = _classify_squares(
             cl, cl_vars, probs_flag, hflip(jnp.concatenate([boards0, boards1], axis=0))
         )

@@ -113,3 +113,35 @@ class TestRefinedQuadrangle:
         np.testing.assert_allclose(
             out, [[16, 16], [496, 16], [496, 496], [16, 496]], atol=1e-3
         )
+
+
+class TestMarginResample:
+    def test_margin_recovers_pixels_beyond_the_nominal_edge(self):
+        # A detected grid extending past row 512 (offset 0, spacing 66 —
+        # the board is bigger than the mask quad assumed, the 16c72614
+        # failure shape): with margin, the resample reads real ring
+        # pixels; without, the amputated region comes back zero.
+        m = 32
+        wide = jnp.tile(
+            jnp.arange(512 + 2 * m, dtype=jnp.float32)[None, :, None], (1, 1, 512 + 2 * m)
+        )  # wide[y, x] = y (board coord y - m)
+        corr = jnp.asarray([[0.0, 64.0, 0.0, 66.0]])  # rows span [0, 528)
+        out_m = np.asarray(gridfix.apply_correction(wide, corr, margin=m))[0]
+        out_0 = np.asarray(
+            gridfix.apply_correction(wide[:, m : m + 512, m : m + 512], corr)
+        )[0]
+        # in-range rows agree (both sample the same board coordinate, and
+        # wide[y_wide] = y_wide means both read m + y·66/64) to bf16 tol
+        np.testing.assert_allclose(out_m[:256], out_0[:256], atol=2.5)
+        # the last output row samples board row 511·66/64 ≈ 527 — beyond
+        # the nominal canvas: zero without the margin, real with it
+        assert out_0[511].max() == 0.0
+        np.testing.assert_allclose(out_m[511], m + 511 * 66 / 64, atol=2.5)
+
+    def test_margin_zero_is_the_identity_configuration(self):
+        rng = np.random.default_rng(3)
+        boards = jnp.asarray(rng.uniform(0, 255, (2, 512, 512)).astype(np.float32))
+        corr = jnp.asarray([[-3.0, 65.0, 2.0, 63.5], [0.0, 64.0, 0.0, 64.0]])
+        a = np.asarray(gridfix.apply_correction(boards, corr))
+        b = np.asarray(gridfix.apply_correction(boards, corr, margin=0))
+        np.testing.assert_array_equal(a, b)
