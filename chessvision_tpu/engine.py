@@ -683,16 +683,28 @@ def validate_labels_batch(
     probabilities: np.ndarray,  # (B, 64, 13)
     square_names: list[str],
 ) -> tuple[list[list[str]], list[list[ValidationFix]]]:
-    """Vectorized host-side port of the reference's validation rule
-    (no pawns on the back ranks → next-best non-pawn; core.py:441-567)."""
+    """Host-side chess-rule validation (reference core.py:441-567).
+
+    Rule 1 — no pawns on the back ranks → next-best non-pawn (the
+    reference's only active rule, core.py:449-469).
+    Rule 2 — one king per color: keep the most-probable king, demote the
+    rest to their next-best non-king (non-pawn too on back-rank squares,
+    so rule 2 cannot reintroduce a rule-1 violation).  The reference
+    sketched exactly this rule and left it commented out
+    (core.py:471-511); measured here it repairs phantom second kings
+    born from board-edge noise (e.g. test board f41748b5 h1) without
+    touching any correct square on the test set (RESULTS.md round 5).
+    """
     b = probabilities.shape[0]
     preds = np.argmax(probabilities, axis=-1)  # (B, 64)
     labels = np.asarray(constants.LABEL_NAMES, dtype=object)[preds]  # (B, 64)
 
     pawn_idx = {constants.LABEL_INDICES["P"], constants.LABEL_INDICES["p"]}
+    king_idx = {constants.LABEL_INDICES["K"], constants.LABEL_INDICES["k"]}
     invalid_rows = [
         i for i, name in enumerate(square_names) if name in constants.INVALID_PAWN_SQUARES
     ]
+    back_rank = set(invalid_rows)
 
     all_labels: list[list[str]] = []
     all_fixes: list[list[ValidationFix]] = []
@@ -712,6 +724,27 @@ def validate_labels_batch(
                                 original_piece=row_labels[sq],
                                 corrected_piece=alt_piece,
                                 rule_name="no_pawns_on_ends",
+                            )
+                        )
+                        row_labels[sq] = alt_piece
+                        break
+        for king in ("K", "k"):
+            ki = constants.LABEL_INDICES[king]
+            claimants = [sq for sq in range(64) if row_labels[sq] == king]
+            if len(claimants) <= 1:
+                continue
+            claimants.sort(key=lambda sq: -float(probabilities[bi, sq, ki]))
+            for sq in claimants[1:]:
+                banned = king_idx | (pawn_idx if sq in back_rank else set())
+                for alt in np.argsort(-probabilities[bi, sq]):
+                    if int(alt) not in banned:
+                        alt_piece = constants.LABEL_NAMES[int(alt)]
+                        fixes.append(
+                            ValidationFix(
+                                square_name=square_names[sq],
+                                original_piece=king,
+                                corrected_piece=alt_piece,
+                                rule_name="one_king_per_color",
                             )
                         )
                         row_labels[sq] = alt_piece

@@ -134,6 +134,61 @@ def test_validate_labels_batch_no_pawn_untouched() -> None:
     assert all(l == "f" for l in labels[0])
 
 
+def test_validate_one_king_per_color_demotes_the_weaker_king() -> None:
+    """Two black kings: the lower-probability one falls to its next-best
+    non-king class (reference's sketched rule 2, core.py:471-511)."""
+    probs = np.zeros((1, 64, 13), np.float32)
+    probs[0, :, constants.LABEL_INDICES["f"]] = 0.9
+    # true king mid-board (square 20), phantom on square 30
+    probs[0, 20] = 0.0
+    probs[0, 20, constants.LABEL_INDICES["k"]] = 0.8
+    probs[0, 30] = 0.0
+    probs[0, 30, constants.LABEL_INDICES["k"]] = 0.4
+    probs[0, 30, constants.LABEL_INDICES["f"]] = 0.3
+    labels, fixes = validate_labels_batch(probs, constants.SQUARE_NAMES_NORMAL)
+    assert labels[0][20] == "k"
+    assert labels[0][30] == "f"
+    king_fixes = [f for f in fixes[0] if f.rule_name == "one_king_per_color"]
+    assert len(king_fixes) == 1
+    assert king_fixes[0].square_name == constants.SQUARE_NAMES_NORMAL[30]
+    assert king_fixes[0].original_piece == "k"
+    assert king_fixes[0].corrected_piece == "f"
+
+
+def test_validate_king_demotion_skips_pawns_on_back_ranks() -> None:
+    """A demoted back-rank phantom king must not become a pawn (that would
+    reintroduce a rule-1 violation) nor the other color's king."""
+    probs = np.zeros((1, 64, 13), np.float32)
+    probs[0, :, constants.LABEL_INDICES["f"]] = 0.9
+    back = next(
+        i
+        for i, n in enumerate(constants.SQUARE_NAMES_NORMAL)
+        if n in constants.INVALID_PAWN_SQUARES
+    )
+    probs[0, 20] = 0.0
+    probs[0, 20, constants.LABEL_INDICES["K"]] = 0.9
+    probs[0, back] = 0.0
+    probs[0, back, constants.LABEL_INDICES["K"]] = 0.5
+    probs[0, back, constants.LABEL_INDICES["p"]] = 0.3  # banned: pawn on back rank
+    probs[0, back, constants.LABEL_INDICES["k"]] = 0.25  # banned: still a king
+    probs[0, back, constants.LABEL_INDICES["R"]] = 0.2
+    labels, fixes = validate_labels_batch(probs, constants.SQUARE_NAMES_NORMAL)
+    assert labels[0][back] == "R"
+    assert labels[0][20] == "K"
+
+
+def test_validate_single_kings_untouched() -> None:
+    probs = np.zeros((1, 64, 13), np.float32)
+    probs[0, :, constants.LABEL_INDICES["f"]] = 0.9
+    probs[0, 10] = 0.0
+    probs[0, 10, constants.LABEL_INDICES["K"]] = 0.6
+    probs[0, 50] = 0.0
+    probs[0, 50, constants.LABEL_INDICES["k"]] = 0.6
+    labels, fixes = validate_labels_batch(probs, constants.SQUARE_NAMES_NORMAL)
+    assert fixes == [[]]
+    assert labels[0][10] == "K" and labels[0][50] == "k"
+
+
 def test_engine_with_real_models_shapes() -> None:
     """Random-init real models through the full fused pipeline: contract
     check (shapes/dtypes/finiteness), small widths for CPU speed."""
