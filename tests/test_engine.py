@@ -189,6 +189,53 @@ def test_validate_single_kings_untouched() -> None:
     assert labels[0][10] == "K" and labels[0][50] == "k"
 
 
+def test_validate_missing_king_promoted() -> None:
+    """A color with zero kings promotes its most-king-probable square
+    (rule 3) — the 76be4f7f failure shape: king misread as queen."""
+    probs = np.zeros((1, 64, 13), np.float32)
+    probs[0, :, constants.LABEL_INDICES["f"]] = 0.9
+    # white king present; black king misread as queen on square 12
+    probs[0, 20] = 0.0
+    probs[0, 20, constants.LABEL_INDICES["K"]] = 0.8
+    probs[0, 12] = 0.0
+    probs[0, 12, constants.LABEL_INDICES["q"]] = 0.4
+    probs[0, 12, constants.LABEL_INDICES["k"]] = 0.3
+    labels, fixes = validate_labels_batch(probs, constants.SQUARE_NAMES_NORMAL)
+    assert labels[0][12] == "k"
+    king_fixes = [f for f in fixes[0] if f.rule_name == "missing_king"]
+    assert len(king_fixes) == 1
+    assert king_fixes[0].square_name == constants.SQUARE_NAMES_NORMAL[12]
+    assert king_fixes[0].original_piece == "q"
+    assert king_fixes[0].corrected_piece == "k"
+
+
+def test_validate_missing_king_floor_blocks_empty_board() -> None:
+    """A cleared board (king probs ~0 everywhere) must not grow kings."""
+    probs = np.zeros((1, 64, 13), np.float32)
+    probs[0, :, constants.LABEL_INDICES["f"]] = 0.99
+    probs[0, :, constants.LABEL_INDICES["k"]] = 0.005
+    probs[0, :, constants.LABEL_INDICES["K"]] = 0.005
+    labels, fixes = validate_labels_batch(probs, constants.SQUARE_NAMES_NORMAL)
+    assert fixes == [[]]
+    assert all(l == "f" for l in labels[0])
+
+
+def test_validate_missing_king_never_displaces_other_king() -> None:
+    """If the best k-candidate square holds the white king, promotion
+    goes to the next-best candidate instead."""
+    probs = np.zeros((1, 64, 13), np.float32)
+    probs[0, :, constants.LABEL_INDICES["f"]] = 0.9
+    probs[0, 20] = 0.0
+    probs[0, 20, constants.LABEL_INDICES["K"]] = 0.6
+    probs[0, 20, constants.LABEL_INDICES["k"]] = 0.3  # best k prob, but K square
+    probs[0, 33] = 0.0
+    probs[0, 33, constants.LABEL_INDICES["b"]] = 0.5
+    probs[0, 33, constants.LABEL_INDICES["k"]] = 0.2
+    labels, fixes = validate_labels_batch(probs, constants.SQUARE_NAMES_NORMAL)
+    assert labels[0][20] == "K"
+    assert labels[0][33] == "k"
+
+
 def test_engine_with_real_models_shapes() -> None:
     """Random-init real models through the full fused pipeline: contract
     check (shapes/dtypes/finiteness), small widths for CPU speed."""
